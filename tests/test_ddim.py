@@ -1,0 +1,61 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from topomap_tpu.core import DDIMConfig, ddim_sample, guess_mode_control_scales, make_schedule
+
+
+def test_guess_mode_control_scales():
+    # Reference: BaseModel/evaluateCN.py:91 — strength * (0.825 ** (12 - i)).
+    s = guess_mode_control_scales(1.0)
+    assert s.shape == (13,)
+    np.testing.assert_allclose(float(s[12]), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(float(s[0]), 0.825**12, rtol=1e-6)
+
+
+def test_ddim_zero_eps_converges_to_scaled_xT():
+    """With eps==0, each DDIM step multiplies x by sqrt(a_prev/a_t); the product telescopes
+    to sqrt(ab[0] / ab[t_S]) — the trajectory is deterministic and checkable in closed form."""
+    sched = make_schedule(1000)
+    cfg = DDIMConfig(num_steps=10, guidance_scale=1.0, eta=0.0)
+    zero_fn = lambda x, t, c: jnp.zeros_like(x)
+    xT = jnp.ones((1, 4, 4, 4))
+    out = ddim_sample(zero_fn, sched, cfg, jax.random.PRNGKey(0), xT.shape, cond=None, uncond=None, x_T=xT)
+    from topomap_tpu.core.schedules import make_ddim_timesteps
+
+    ts = make_ddim_timesteps(10, 1000)
+    ab = np.asarray(sched.alphas_cumprod)
+    expected = np.sqrt(ab[0] / ab[ts[-1]])
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4)
+
+
+def test_ddim_cfg_parallel_equals_sequential():
+    """Batched-2B CFG must produce the same trajectory as two separate model calls."""
+    sched = make_schedule(1000)
+    w = jnp.linspace(0.1, 0.9, 16).reshape(4, 4)
+
+    def denoise(x, t, cond):
+        # cond is a [B, 4] one-hot-ish vector; a fake linear "model".
+        scale = jnp.sum(cond, axis=-1)[:, None, None, None]
+        return x * 0.01 * scale + w[None, :, :, None] * 0.05
+
+    cond = jnp.ones((2, 4))
+    uncond = jnp.zeros((2, 4))
+    key = jax.random.PRNGKey(7)
+    out_p = ddim_sample(
+        denoise, sched, DDIMConfig(8, 7.5, 0.0, parallel_cfg=True), key, (2, 4, 4, 4), cond, uncond
+    )
+    out_s = ddim_sample(
+        denoise, sched, DDIMConfig(8, 7.5, 0.0, parallel_cfg=False), key, (2, 4, 4, 4), cond, uncond
+    )
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_s), atol=1e-5)
+
+
+def test_ddim_eta_nonzero_still_finite_and_seeded():
+    sched = make_schedule(1000)
+    f = lambda x, t, c: 0.1 * x
+    k = jax.random.PRNGKey(3)
+    a = ddim_sample(f, sched, DDIMConfig(6, 1.0, eta=1.0), k, (1, 4, 4, 4), None, None)
+    b = ddim_sample(f, sched, DDIMConfig(6, 1.0, eta=1.0), k, (1, 4, 4, 4), None, None)
+    assert np.all(np.isfinite(np.asarray(a)))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1,0 +1,19 @@
+from topomap_tpu.core.schedules import (
+    DiffusionSchedule,
+    make_schedule,
+    q_sample,
+    predict_start_from_noise,
+    make_ddim_timesteps,
+)
+from topomap_tpu.core.ddim import DDIMConfig, ddim_sample, guess_mode_control_scales
+
+__all__ = [
+    "DiffusionSchedule",
+    "make_schedule",
+    "q_sample",
+    "predict_start_from_noise",
+    "make_ddim_timesteps",
+    "DDIMConfig",
+    "ddim_sample",
+    "guess_mode_control_scales",
+]

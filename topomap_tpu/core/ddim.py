@@ -1,0 +1,121 @@
+"""Jitted DDIM sampler: the whole denoising trajectory is ONE ``lax.scan``.
+
+The reference samples with the vendored ``DDIMSampler.sample`` — a Python ``for`` loop that
+launches two ``model.apply_model`` calls per step (cond + uncond CFG), one tile at a time
+(see SURVEY.md §3.2; reference ``TextEncoder_Finetuning/vis_metrics.py:408-452`` and
+``BaseModel/evaluateCN.py:93-96``). On TPU that structure wastes the chip twice over: the
+Python loop re-dispatches per step, and the two CFG branches are independent batches.
+
+Here the trajectory compiles to a single ``lax.scan`` whose body runs cond and uncond through
+the model **in one batched forward pass** (batch ``2B``), so XLA pipelines the whole thing and
+the MXU sees one large batch. Sampling a full 10×10 map sheet is then just ``B=100``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from topomap_tpu.core.schedules import DiffusionSchedule, make_ddim_timesteps
+
+# denoise_fn(x_t [B,H,W,C], t [B] int32, cond pytree) -> eps [B,H,W,C]
+DenoiseFn = Callable[[jnp.ndarray, jnp.ndarray, Any], jnp.ndarray]
+
+
+@dataclasses.dataclass(frozen=True)
+class DDIMConfig:
+    num_steps: int = 20
+    guidance_scale: float = 9.0
+    eta: float = 0.0
+    # When True (default), run cond+uncond as one 2B-batched model call per scan step.
+    parallel_cfg: bool = True
+
+
+def guess_mode_control_scales(strength: float = 1.0, n: int = 13) -> jnp.ndarray:
+    """ControlNet "guess mode" residual scaling ``strength * 0.825**(12-i)``.
+
+    Reference: ``BaseModel/evaluateCN.py:91``. Index 0 is the outermost (highest-res)
+    zero-conv residual; index 12 the middle block.
+    """
+    return jnp.asarray([strength * (0.825 ** float(n - 1 - i)) for i in range(n)], jnp.float32)
+
+
+def _ddim_tables(sched: DiffusionSchedule, num_steps: int, eta: float):
+    """Per-DDIM-step (ascending) alpha / alpha_prev / sigma tables as numpy constants."""
+    ts = make_ddim_timesteps(num_steps, sched.num_timesteps)
+    ab = np.asarray(sched.alphas_cumprod)
+    alphas = ab[ts]
+    alphas_prev = np.concatenate([[float(ab[0])], ab[ts[:-1]]])
+    sigmas = eta * np.sqrt(
+        (1.0 - alphas_prev) / (1.0 - alphas) * (1.0 - alphas / alphas_prev)
+    )
+    return (
+        jnp.asarray(ts, jnp.int32),
+        jnp.asarray(alphas, jnp.float32),
+        jnp.asarray(alphas_prev, jnp.float32),
+        jnp.asarray(sigmas, jnp.float32),
+    )
+
+
+def ddim_sample(
+    denoise_fn: DenoiseFn,
+    sched: DiffusionSchedule,
+    cfg: DDIMConfig,
+    rng: jax.Array,
+    shape: tuple[int, ...],
+    cond: Any,
+    uncond: Any,
+    x_T: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Sample latents ``x_0`` of ``shape`` = [B, H, W, C] with classifier-free guidance.
+
+    ``cond`` / ``uncond`` are arbitrary pytrees with identical structure whose leaves have a
+    leading batch dim B (e.g. ``{"crossattn": [B,77,768], "concat": [B,512,512,3]}``). The
+    reference's unconditional embedding is a ZERO tensor, not an encoded empty prompt
+    (``vis_metrics.py:425``) — callers construct that themselves.
+
+    Returns the final latent; decode with the VAE afterwards.
+    """
+    ts, alphas, alphas_prev, sigmas = _ddim_tables(sched, cfg.num_steps, cfg.eta)
+
+    rng, init_rng = jax.random.split(rng)
+    x = jax.random.normal(init_rng, shape, jnp.float32) if x_T is None else x_T
+    b = shape[0]
+
+    if cfg.parallel_cfg:
+        cond2 = jax.tree.map(lambda c, u: jnp.concatenate([c, u], axis=0), cond, uncond)
+
+    def model_eps(x_t, t_scalar):
+        t_b = jnp.full((b,), t_scalar, jnp.int32)
+        if cfg.guidance_scale == 1.0:
+            return denoise_fn(x_t, t_b, cond)
+        if cfg.parallel_cfg:
+            eps2 = denoise_fn(
+                jnp.concatenate([x_t, x_t], axis=0),
+                jnp.concatenate([t_b, t_b], axis=0),
+                cond2,
+            )
+            eps_c, eps_u = eps2[:b], eps2[b:]
+        else:
+            eps_c = denoise_fn(x_t, t_b, cond)
+            eps_u = denoise_fn(x_t, t_b, uncond)
+        return eps_u + cfg.guidance_scale * (eps_c - eps_u)
+
+    def step(carry, idx):
+        # idx runs 0..S-1 over REVERSED step order (t descending).
+        x_t, step_rng = carry
+        i = cfg.num_steps - 1 - idx
+        a_t, a_prev, sigma = alphas[i], alphas_prev[i], sigmas[i]
+        eps = model_eps(x_t, ts[i])
+        pred_x0 = (x_t - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
+        dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma**2, 0.0)) * eps
+        step_rng, noise_rng = jax.random.split(step_rng)
+        noise = sigma * jax.random.normal(noise_rng, x_t.shape, x_t.dtype)
+        x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
+        return (x_prev, step_rng), None
+
+    (x, _), _ = jax.lax.scan(step, (x, rng), jnp.arange(cfg.num_steps))
+    return x

@@ -1,0 +1,204 @@
+"""Attention and transformer blocks for the SD UNet — functional, LoRA-aware, kernel-pluggable.
+
+Capability mirror of the vendored LDM ``ldm.modules.attention`` stack the reference depends on
+(``SpatialTransformer`` / ``CrossAttention`` / GEGLU ``FeedForward``; the reference wraps the
+``to_q/to_k/to_v/to_out`` Linears in-place with LoRA at e.g.
+``LoRA_modified/LoRA_utils.py:45-59``). Here the projections are explicit named leaves of the
+parameter pytree and every projection accepts an optional LoRA subtree
+``{"A": [d_in,r], "B": [r,d_out], "scale": ()}`` — injection is data, not monkey-patching.
+
+The inner attention computation is pluggable: the default is a plain XLA einsum softmax
+(which XLA fuses well at these shapes), and ``topomap_tpu.ops.flash_attention`` provides the
+Pallas flash kernel used on TPU for the 4096-token self-attention.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from topomap_tpu.models.nn import (
+    KeyGen,
+    Params,
+    dense,
+    dense_init,
+    group_norm,
+    layer_norm,
+    norm_init,
+)
+
+# attention_fn(q, k, v) with q/k/v [B, H, Tq|Tk, Dh] -> [B, H, Tq, Dh]
+AttnFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+def lora_dense(p: Params, x: jnp.ndarray, lora: Optional[Params] = None) -> jnp.ndarray:
+    """``y = x W + b  [+ scale · (x A) B]`` — the LoRALinear law (``LoRA_utils.py:20-42``)."""
+    y = dense(p, x)
+    if lora is not None:
+        delta = jnp.dot(jnp.dot(x, lora["A"].astype(x.dtype)), lora["B"].astype(x.dtype))
+        y = y + lora["scale"].astype(x.dtype) * delta
+    return y
+
+
+def xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Default attention: einsum + fp32 softmax. Shapes [B,H,T,Dh]."""
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+# ---------------------------------------------------------------------------
+# CrossAttention (self-attention when context is None)
+# ---------------------------------------------------------------------------
+
+
+def cross_attention_init(
+    kg: KeyGen, query_dim: int, context_dim: int | None, heads: int, dim_head: int
+) -> Params:
+    inner = heads * dim_head
+    ctx = query_dim if context_dim is None else context_dim
+    return {
+        "to_q": {"w": dense_init(kg(), query_dim, inner)["w"]},  # LDM: no bias on q/k/v
+        "to_k": {"w": dense_init(kg(), ctx, inner)["w"]},
+        "to_v": {"w": dense_init(kg(), ctx, inner)["w"]},
+        "to_out": dense_init(kg(), inner, query_dim),
+    }
+
+
+def _proj_nobias(p: Params, x: jnp.ndarray, lora: Optional[Params]) -> jnp.ndarray:
+    y = jnp.dot(x, p["w"].astype(x.dtype))
+    if lora is not None:
+        y = y + lora["scale"].astype(x.dtype) * jnp.dot(
+            jnp.dot(x, lora["A"].astype(x.dtype)), lora["B"].astype(x.dtype)
+        )
+    return y
+
+
+def cross_attention(
+    p: Params,
+    x: jnp.ndarray,
+    context: Optional[jnp.ndarray] = None,
+    heads: int = 8,
+    lora: Optional[Params] = None,
+    attn_fn: AttnFn = xla_attention,
+) -> jnp.ndarray:
+    """x: [B, Tq, D]; context: [B, Tk, Dc] or None (self-attention)."""
+    ctx = x if context is None else context
+    lora = lora or {}
+    q = _proj_nobias(p["to_q"], x, lora.get("to_q"))
+    k = _proj_nobias(p["to_k"], ctx, lora.get("to_k"))
+    v = _proj_nobias(p["to_v"], ctx, lora.get("to_v"))
+    b, tq, inner = q.shape
+    dh = inner // heads
+    split = lambda t: t.reshape(b, -1, heads, dh).transpose(0, 2, 1, 3)
+    out = attn_fn(split(q), split(k), split(v))
+    out = out.transpose(0, 2, 1, 3).reshape(b, tq, inner)
+    return lora_dense(p["to_out"], out, lora.get("to_out"))
+
+
+# ---------------------------------------------------------------------------
+# GEGLU FeedForward
+# ---------------------------------------------------------------------------
+
+
+def feed_forward_init(kg: KeyGen, dim: int, mult: int = 4) -> Params:
+    inner = dim * mult
+    return {"proj_in": dense_init(kg(), dim, inner * 2), "proj_out": dense_init(kg(), inner, dim)}
+
+
+def feed_forward(p: Params, x: jnp.ndarray, lora: Optional[Params] = None) -> jnp.ndarray:
+    lora = lora or {}
+    h = lora_dense(p["proj_in"], x, lora.get("proj_in"))
+    h, gate = jnp.split(h, 2, axis=-1)
+    h = h * jax.nn.gelu(gate, approximate=False)
+    return lora_dense(p["proj_out"], h, lora.get("proj_out"))
+
+
+# ---------------------------------------------------------------------------
+# BasicTransformerBlock + SpatialTransformer
+# ---------------------------------------------------------------------------
+
+
+def transformer_block_init(
+    kg: KeyGen, dim: int, context_dim: int, heads: int, dim_head: int
+) -> Params:
+    return {
+        "norm1": norm_init(dim),
+        "attn1": cross_attention_init(kg, dim, None, heads, dim_head),  # self
+        "norm2": norm_init(dim),
+        "attn2": cross_attention_init(kg, dim, context_dim, heads, dim_head),  # cross
+        "norm3": norm_init(dim),
+        "ff": feed_forward_init(kg, dim),
+    }
+
+
+def transformer_block(
+    p: Params,
+    x: jnp.ndarray,
+    context: jnp.ndarray,
+    heads: int,
+    lora: Optional[Params] = None,
+    attn_fn: AttnFn = xla_attention,
+) -> jnp.ndarray:
+    lora = lora or {}
+    x = x + cross_attention(
+        p["attn1"], layer_norm(p["norm1"], x), None, heads, lora.get("attn1"), attn_fn
+    )
+    x = x + cross_attention(
+        p["attn2"], layer_norm(p["norm2"], x), context, heads, lora.get("attn2"), attn_fn
+    )
+    x = x + feed_forward(p["ff"], layer_norm(p["norm3"], x), lora.get("ff"))
+    return x
+
+
+def spatial_transformer_init(
+    kg: KeyGen, channels: int, context_dim: int, heads: int, depth: int = 1
+) -> Params:
+    dim_head = channels // heads
+    return {
+        "norm": norm_init(channels),
+        "proj_in": dense_init(kg(), channels, channels),
+        "blocks": [
+            transformer_block_init(kg, channels, context_dim, heads, dim_head)
+            for _ in range(depth)
+        ],
+        "proj_out": dense_init(kg(), channels, channels, zero=True),  # LDM zero-init
+    }
+
+
+def spatial_transformer(
+    p: Params,
+    x: jnp.ndarray,
+    context: jnp.ndarray,
+    heads: int,
+    lora: Optional[Params] = None,
+    attn_fn: AttnFn = xla_attention,
+) -> jnp.ndarray:
+    """x: [B, H, W, C] NHWC; context: [B, Tk, Dc]. Residual like LDM SpatialTransformer."""
+    b, h, w, c = x.shape
+    lora = lora or {}
+    x_in = x
+    y = group_norm(p["norm"], x)
+    y = y.reshape(b, h * w, c)
+    y = dense(p["proj_in"], y)
+    blocks_lora = lora.get("blocks", {})
+    for i, bp in enumerate(p["blocks"]):
+        y = transformer_block(
+            bp, y, context, heads, _idx(blocks_lora, i), attn_fn
+        )
+    y = dense(p["proj_out"], y)
+    return y.reshape(b, h, w, c) + x_in
+
+
+def _idx(tree: Any, i: int):
+    """Index helper tolerating missing LoRA subtrees (dict keyed by int, list, or None)."""
+    if tree is None:
+        return None
+    if isinstance(tree, dict):
+        return tree.get(i)
+    try:
+        return tree[i]
+    except (IndexError, KeyError, TypeError):
+        return None

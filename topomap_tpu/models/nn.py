@@ -1,0 +1,137 @@
+"""Minimal functional NN primitives: params are plain pytrees, modules are (init, apply) pairs.
+
+Design rationale (TPU-first): every model in this framework is a pure function of an explicit
+parameter pytree. That makes LoRA a *tree transformation* (extra leaves merged into projection
+weights, see ``topomap_tpu.lora``), makes pjit sharding a matter of annotating the tree, and
+keeps everything trivially ``jax.jit``/``lax.scan``-compatible — no module system, no tracing
+magic, no framework state. Layout is NHWC (images) / [B, T, D] (sequences); convolution kernels
+are HWIO, dense kernels [in, out]; compute dtype is a call-site argument (bfloat16 on TPU),
+parameters stay float32.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+Params = dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Initializers
+# ---------------------------------------------------------------------------
+
+
+def _fan_in_scale(key, shape, fan_in, scale=1.0, dtype=jnp.float32):
+    """LDM's default init is kaiming-uniform-ish; variance-scaled normal works identically
+    for training-from-scratch and is checkpoint-overwritten for pretrained use."""
+    std = scale / math.sqrt(max(fan_in, 1))
+    return jax.random.normal(key, shape, dtype) * std
+
+
+def dense_init(key, d_in: int, d_out: int, scale: float = 1.0, zero: bool = False) -> Params:
+    if zero:
+        w = jnp.zeros((d_in, d_out), jnp.float32)
+    else:
+        w = _fan_in_scale(key, (d_in, d_out), d_in, scale)
+    return {"w": w, "b": jnp.zeros((d_out,), jnp.float32)}
+
+
+def dense(p: Params, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    dtype = dtype or x.dtype
+    return jnp.dot(x.astype(dtype), p["w"].astype(dtype)) + p["b"].astype(dtype)
+
+
+def conv_init(key, c_in: int, c_out: int, k: int = 3, zero: bool = False) -> Params:
+    if zero:
+        w = jnp.zeros((k, k, c_in, c_out), jnp.float32)
+    else:
+        w = _fan_in_scale(key, (k, k, c_in, c_out), k * k * c_in)
+    return {"w": w, "b": jnp.zeros((c_out,), jnp.float32)}
+
+
+def conv(p: Params, x: jnp.ndarray, stride: int = 1, padding: str | int = "SAME", dtype=None):
+    dtype = dtype or x.dtype
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype),
+        p["w"].astype(dtype),
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + p["b"].astype(dtype)
+
+
+def norm_init(dim: int) -> Params:
+    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def group_norm(p: Params, x: jnp.ndarray, groups: int = 32, eps: float = 1e-5) -> jnp.ndarray:
+    """GroupNorm over the channel (last) axis of NHWC / [B,T,D]. fp32 statistics."""
+    orig_dtype = x.dtype
+    x = x.astype(jnp.float32)
+    c = x.shape[-1]
+    g = min(groups, c)
+    while c % g:
+        g -= 1
+    shape = x.shape[:-1] + (g, c // g)
+    xg = x.reshape(shape)
+    red = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
+    mean = xg.mean(axis=red, keepdims=True)
+    var = xg.var(axis=red, keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    x = xg.reshape(x.shape)
+    return (x * p["scale"] + p["bias"]).astype(orig_dtype)
+
+
+def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    orig_dtype = x.dtype
+    x = x.astype(jnp.float32)
+    mean = x.mean(axis=-1, keepdims=True)
+    var = x.var(axis=-1, keepdims=True)
+    x = (x - mean) * jax.lax.rsqrt(var + eps)
+    return (x * p["scale"] + p["bias"]).astype(orig_dtype)
+
+
+def silu(x):
+    return jax.nn.silu(x)
+
+
+def gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+# ---------------------------------------------------------------------------
+# Timestep embedding (LDM sinusoidal)
+# ---------------------------------------------------------------------------
+
+
+def timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0) -> jnp.ndarray:
+    """Sinusoidal timestep embedding, [B] int32 → [B, dim] float32 (cos | sin halves)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+# ---------------------------------------------------------------------------
+# Key splitting helper
+# ---------------------------------------------------------------------------
+
+
+class KeyGen:
+    """Sequential PRNG key dispenser for init functions."""
+
+    def __init__(self, key):
+        self._key = key
+
+    def __call__(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
