@@ -1,0 +1,147 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from topomap_tpu.lora import (
+    LoRASpec,
+    attach_condition,
+    build_lora_tree,
+    count_lora_params,
+    lora_param_paths,
+    merge_lora,
+)
+from topomap_tpu.models.unet import UNetConfig, unet_apply, unet_init
+
+from tests.util import unzero
+
+CFG = UNetConfig.tiny()
+
+
+def _params():
+    return unzero(unet_init(jax.random.PRNGKey(0), CFG))
+
+
+def _count_attn_modules(tree):
+    n = [0]
+
+    def walk(node):
+        if isinstance(node, dict):
+            if {"to_q", "to_k", "to_v", "to_out"} <= set(node):
+                n[0] += 1
+                return
+            for v in node.values():
+                walk(v)
+        elif isinstance(node, (list, tuple)):
+            for v in node:
+                walk(v)
+
+    walk(tree)
+    return n[0]
+
+
+def test_build_lora_tree_targets_all_attention():
+    params = _params()
+    n_attn = _count_attn_modules(params)
+    lora = build_lora_tree(params, LoRASpec.qkv(r_q=2, r_kv=4), jax.random.PRNGKey(1))
+    # every attention module (attn1+attn2) gets q/k/v leaves, no out/ff
+    paths = lora_param_paths(lora)
+    q_leaves = [p for p in paths if "/to_q/A" in p]
+    o_leaves = [p for p in paths if "/to_out/" in p]
+    assert len(q_leaves) == n_attn and not o_leaves
+    # rank asymmetry
+    def first_leaf(tree, name):
+        for p in jax.tree.leaves_with_path(tree):
+            pass
+    # check shapes directly: find an attn1 entry
+    flat = jax.tree.leaves(lora)
+    assert count_lora_params(lora) == sum(x.size for x in flat)
+
+
+def test_lora_identity_at_init():
+    params = _params()
+    lora = build_lora_tree(params, LoRASpec.qkv(4, 8), jax.random.PRNGKey(1))
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(3), (1, 7, CFG.context_dim))
+    t = jnp.array([100])
+    e0 = unet_apply(params, CFG, x, t, ctx)
+    e1 = unet_apply(params, CFG, x, t, ctx, lora=lora)
+    np.testing.assert_allclose(np.asarray(e0), np.asarray(e1), atol=1e-6)  # B=0 ⇒ identity
+
+
+def test_lora_changes_output_when_B_nonzero():
+    params = _params()
+    lora = build_lora_tree(params, LoRASpec.kv(4), jax.random.PRNGKey(1))
+    lora = jax.tree.map(lambda x: x if x.ndim != 2 else x + 0.02, lora)  # make B nonzero
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(3), (1, 7, CFG.context_dim))
+    t = jnp.array([100])
+    e0 = unet_apply(params, CFG, x, t, ctx)
+    e1 = unet_apply(params, CFG, x, t, ctx, lora=lora)
+    assert not np.allclose(np.asarray(e0), np.asarray(e1))
+
+
+def test_merge_lora_equals_runtime_lora():
+    """W_eff = W + scale·A·B must reproduce the runtime adapter exactly."""
+    params = _params()
+    lora = build_lora_tree(params, LoRASpec.qkvo(4), jax.random.PRNGKey(1))
+    # random A and B so the delta is nontrivial
+    lora = jax.tree.map(
+        lambda x: jax.random.normal(jax.random.PRNGKey(7), x.shape) * 0.05 if x.ndim == 2 else x,
+        lora,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(3), (2, 7, CFG.context_dim))
+    t = jnp.array([10, 500])
+    e_runtime = unet_apply(params, CFG, x, t, ctx, lora=lora)
+    merged = merge_lora(params, lora)
+    e_merged = unet_apply(merged, CFG, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(e_runtime), np.asarray(e_merged), atol=1e-4)
+
+
+def test_scale_default_is_two():
+    params = _params()
+    lora = build_lora_tree(params, LoRASpec.kv(8), jax.random.PRNGKey(1))
+    leaf_scales = [x for p, x in zip(lora_param_paths(lora), jax.tree.leaves(lora)) if x.ndim == 0]
+    assert all(abs(float(s) - 2.0) < 1e-6 for s in leaf_scales)
+    lora_a = build_lora_tree(params, LoRASpec(r_k=8, alpha=8.0), jax.random.PRNGKey(1))
+    scales = [x for x in jax.tree.leaves(lora_a) if x.ndim == 0]
+    assert all(abs(float(s) - 1.0) < 1e-6 for s in scales)
+
+
+def test_attn1_only_flag():
+    params = _params()
+    lora = build_lora_tree(
+        params, LoRASpec(r_k=4, r_v=4, attn1=True, attn2=False), jax.random.PRNGKey(1)
+    )
+    assert all("attn2" not in p for p in lora_param_paths(lora))
+    assert any("attn1" in p for p in lora_param_paths(lora))
+
+
+def test_ffn_lora_targets_feedforward():
+    params = _params()
+    lora = build_lora_tree(params, LoRASpec(r_ff=4), jax.random.PRNGKey(1))
+    paths = lora_param_paths(lora)
+    assert paths and all("/ff/proj_" in p for p in paths)
+
+
+def test_conditional_lora_runs_and_depends_on_condition():
+    params = _params()
+    cond_dim = 16
+    spec = LoRASpec.cn_lora(r=4, cond_dim=cond_dim)
+    lora = build_lora_tree(params, spec, jax.random.PRNGKey(1))
+    # nonzero B so the conditional path matters
+    lora = jax.tree.map(
+        lambda x: jax.random.normal(jax.random.PRNGKey(7), x.shape) * 0.05 if x.ndim == 2 else x,
+        lora,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(3), (2, 7, CFG.context_dim))
+    t = jnp.array([10, 10])
+    cond_a = jnp.zeros((2, cond_dim))
+    cond_b = jnp.ones((2, cond_dim))
+    ea = unet_apply(params, CFG, x, t, ctx, lora=attach_condition(lora, cond_a))
+    eb = unet_apply(params, CFG, x, t, ctx, lora=attach_condition(lora, cond_b))
+    assert not np.allclose(np.asarray(ea), np.asarray(eb))
+    # batch-broadcast repair: cond with batch 1 against x batch 2
+    ec = unet_apply(params, CFG, x, t, ctx, lora=attach_condition(lora, cond_b[:1]))
+    np.testing.assert_allclose(np.asarray(eb), np.asarray(ec), atol=1e-5)

@@ -32,11 +32,31 @@ from topomap_tpu.models.nn import (
 AttnFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
 
+def _lora_input(x: jnp.ndarray, lora: Params) -> jnp.ndarray:
+    """Conditional CN-LoRA input modulation (``multiseg_multicolor_CNLoRA_pilot.py:277-327``):
+    ``Δx = fc2(SiLU(fc1([mean_T(x) ; cond])))`` broadcast over tokens, else identity."""
+    if "fuse" in lora and "cond" in lora:
+        fuse = lora["fuse"]
+        x_mean = x.mean(axis=1)
+        cond = lora["cond"].astype(x.dtype)
+        if cond.shape[0] != x.shape[0]:  # CFG 2B-batch: tile cond (batch-broadcast repair)
+            reps = -(-x.shape[0] // cond.shape[0])
+            cond = jnp.tile(cond, (reps, 1))[: x.shape[0]]
+        fuse_in = jnp.concatenate([x_mean, cond], axis=-1)
+        delta = jnp.dot(
+            jax.nn.silu(jnp.dot(fuse_in, fuse["fc1"].astype(x.dtype))),
+            fuse["fc2"].astype(x.dtype),
+        )
+        return x + delta[:, None, :]
+    return x
+
+
 def lora_dense(p: Params, x: jnp.ndarray, lora: Optional[Params] = None) -> jnp.ndarray:
-    """``y = x W + b  [+ scale · (x A) B]`` — the LoRALinear law (``LoRA_utils.py:20-42``)."""
+    """``y = x W + b  [+ scale · ((x+Δx) A) B]`` — the LoRALinear law (``LoRA_utils.py:20-42``)."""
     y = dense(p, x)
     if lora is not None:
-        delta = jnp.dot(jnp.dot(x, lora["A"].astype(x.dtype)), lora["B"].astype(x.dtype))
+        xm = _lora_input(x, lora)
+        delta = jnp.dot(jnp.dot(xm, lora["A"].astype(x.dtype)), lora["B"].astype(x.dtype))
         y = y + lora["scale"].astype(x.dtype) * delta
     return y
 
@@ -70,8 +90,9 @@ def cross_attention_init(
 def _proj_nobias(p: Params, x: jnp.ndarray, lora: Optional[Params]) -> jnp.ndarray:
     y = jnp.dot(x, p["w"].astype(x.dtype))
     if lora is not None:
+        xm = _lora_input(x, lora)
         y = y + lora["scale"].astype(x.dtype) * jnp.dot(
-            jnp.dot(x, lora["A"].astype(x.dtype)), lora["B"].astype(x.dtype)
+            jnp.dot(xm, lora["A"].astype(x.dtype)), lora["B"].astype(x.dtype)
         )
     return y
 
