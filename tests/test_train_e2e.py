@@ -1,0 +1,145 @@
+"""End-to-end slice: tiny pipeline trains (loss decreases on an overfit batch) and samples.
+
+Mirrors the reference's de-facto test harness — the ``experiment_overfit/`` single-tile
+overfits (SURVEY.md §4) — at test scale.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from topomap_tpu.core import DDIMConfig, make_schedule
+from topomap_tpu.data.synthetic import generate_pair
+from topomap_tpu.pipeline import (
+    PipelineConfig,
+    apply_model,
+    encode_text,
+    init_pipeline,
+    make_tokenizers,
+    sample,
+)
+from topomap_tpu.train.optim import (
+    OptimConfig,
+    build_optimizer,
+    count_trainable,
+    LABELERS,
+)
+from topomap_tpu.train.trainer import (
+    MeterEMA,
+    init_train_state,
+    make_train_step,
+    make_validate_step,
+)
+
+CFG = PipelineConfig.tiny()
+SCHED = make_schedule(1000)
+
+
+def _batch(b=2, size=32):
+    tok, _ = make_tokenizers(CFG)
+    prompts = ["Set Forest color to dark green"] * b
+    segs, gts = [], []
+    for i in range(b):
+        seg, gt = generate_pair(i, prompts[i])
+        segs.append(np.array(seg[:size, :size]) / 255.0)
+        gts.append(np.array(gt[:size, :size]) / 127.5 - 1.0)
+    ids, mask = tok.encode(prompts)
+    return {
+        "seg": jnp.asarray(np.stack(segs), jnp.float32),
+        "gt": jnp.asarray(np.stack(gts), jnp.float32),
+        "ids": jnp.asarray(ids),
+        "mask": jnp.asarray(mask),
+    }
+
+
+@pytest.fixture(scope="module")
+def params():
+    # simulate_pretrained: LoRA training configs presuppose a trained base model (the
+    # reference's Swisstopo.ckpt); a raw zero-init base has a dead output conv.
+    from topomap_tpu.pipeline import simulate_pretrained
+
+    return simulate_pretrained(init_pipeline(jax.random.PRNGKey(0), CFG), jax.random.PRNGKey(1))
+
+
+def test_trainable_counts_config_hierarchy(params):
+    c1 = count_trainable(params, LABELERS["config1"])
+    c2 = count_trainable(params, LABELERS["config2"])
+    c3 = count_trainable(params, LABELERS["config3"])
+    assert 0 < c1 < c2 < c3
+    total = sum(x.size for x in jax.tree.leaves(params))
+    assert c3 < total * 0.5  # vast majority frozen
+
+
+def test_train_step_decreases_loss_and_freezes_frozen(params):
+    opt_cfg = OptimConfig(config_name="config3", total_steps=100, warmup=5, lr_overrides={
+        "ctrl_lora": 1e-3, "ctrl_ft": 1e-3, "unet_lora": 1e-3, "adapter": 1e-3,
+    })
+    tx, _ = build_optimizer(params, opt_cfg)
+    step_fn = jax.jit(make_train_step(CFG, SCHED, tx, "config3"))
+    state = init_train_state(params, tx)
+    batch = _batch()
+    rng = jax.random.PRNGKey(42)
+
+    vae_before = jax.tree.leaves(state.params["vae"])[0]
+    unet_w_before = state.params["unet"]["encoder"]["blocks"][0]["conv_in"]["w"]
+
+    # fixed-seed validation before/after is the fair overfit signal (train-loss draws a
+    # fresh random t per step, so the raw series is noisy)
+    val = jax.jit(make_validate_step(CFG, SCHED, iters=4))
+    val_before = float(val(state.params, batch))
+
+    meter = MeterEMA()
+    for i in range(60):
+        state, metrics = step_fn(state, batch, rng)
+        meter.update(float(metrics["loss"]))
+
+    val_after = float(val(state.params, batch))
+    assert val_after < val_before
+    # frozen collections untouched
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(state.params["vae"])[0]), np.asarray(vae_before)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state.params["unet"]["encoder"]["blocks"][0]["conv_in"]["w"]),
+        np.asarray(unet_w_before),
+    )
+    # trainable collections DID move
+    delta = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).sum()), state.params["adapter"], params["adapter"]
+    )
+    assert sum(jax.tree.leaves(delta)) > 0
+    assert int(state.step) == 60
+
+
+def test_validate_step_deterministic(params):
+    val = jax.jit(make_validate_step(CFG, SCHED, iters=2))
+    batch = _batch()
+    a = float(val(params, batch))
+    b = float(val(params, batch))
+    assert a == b and np.isfinite(a)
+
+
+def test_sample_end_to_end_shapes(params):
+    batch = _batch(b=1)
+    c = encode_text(params, CFG, batch["ids"], batch["mask"])
+    out = sample(
+        params,
+        CFG,
+        SCHED,
+        DDIMConfig(num_steps=4, guidance_scale=7.5),
+        jax.random.PRNGKey(0),
+        batch["seg"],
+        c,
+    )
+    assert out.shape == (1, 32, 32, 3)
+    arr = np.asarray(out)
+    assert np.all(np.isfinite(arr)) and arr.min() >= -1.0 and arr.max() <= 1.0
+
+
+def test_apply_model_matches_cfg_contract(params):
+    batch = _batch(b=2)
+    c = encode_text(params, CFG, batch["ids"], batch["mask"])
+    z = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 4))  # 32² / vae.downscale(2)
+    t = jnp.array([5, 900])
+    eps = apply_model(params, CFG, z, t, {"crossattn": c, "concat": batch["seg"]})
+    assert eps.shape == z.shape and eps.dtype == jnp.float32

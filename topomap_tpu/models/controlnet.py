@@ -33,30 +33,44 @@ from topomap_tpu.models.unet import (
 )
 
 
-def hint_block_init(kg: KeyGen, cfg: UNetConfig, hint_channels: int = 3) -> Params:
+def hint_block_init(
+    kg: KeyGen, cfg: UNetConfig, hint_channels: int = 3, hint_downscale: int = 8
+) -> Params:
     """ControlNet ``input_hint_block``: 8 SiLU-separated convs taking the full-res 512² hint
-    down 8× to latent resolution; channel ramp scales with model width; final conv zero-init."""
+    down to latent resolution (8× for SD; configurable so tiny test VAEs with smaller
+    downscale factors line up); channel ramp scales with model width; final conv zero-init."""
     mc = cfg.model_channels
     # Reference ramp at mc=320: 16,16,32,32,96,96,256 → 320. Scale proportionally for tiny cfgs.
     ramp = [max(mc // 20, 4)] * 2 + [max(mc // 10, 8)] * 2 + [max(3 * mc // 10, 8)] * 2 + [max(4 * mc // 5, 8)]
     chans = [hint_channels] + ramp
-    strides = [1, 1, 2, 1, 2, 1, 2]
     convs = [conv_init(kg(), chans[i], chans[i + 1], 3) for i in range(7)]
     convs.append(conv_init(kg(), chans[-1], mc, 3, zero=True))
-    return {"convs": convs, "strides": strides + [1]}
+    return {"convs": convs}
 
 
-def hint_block_apply(p: Params, hint: jnp.ndarray) -> jnp.ndarray:
+def hint_strides(hint_downscale: int = 8) -> tuple[int, ...]:
+    """Static stride plan of the hint block (strides live OUTSIDE the param pytree so they
+    never become tracers under jit). Reference plan for 8×: strides 2 at convs 2/4/6."""
+    n_stride2 = max(0, hint_downscale.bit_length() - 1)  # log2
+    assert 2**n_stride2 == hint_downscale and n_stride2 <= 3, hint_downscale
+    stride_slots = [2, 4, 6][3 - n_stride2:] if n_stride2 else []
+    return tuple(2 if i in stride_slots else 1 for i in range(7)) + (1,)
+
+
+def hint_block_apply(p: Params, hint: jnp.ndarray, hint_downscale: int = 8) -> jnp.ndarray:
     h = hint
+    strides = hint_strides(hint_downscale)
     n = len(p["convs"])
-    for i, (cp, s) in enumerate(zip(p["convs"], p["strides"])):
-        h = conv(cp, h, stride=int(s))
+    for i, (cp, s) in enumerate(zip(p["convs"], strides)):
+        h = conv(cp, h, stride=s)
         if i < n - 1:
             h = silu(h)
     return h
 
 
-def controlnet_init(key, cfg: UNetConfig = UNetConfig(), hint_channels: int = 3) -> Params:
+def controlnet_init(
+    key, cfg: UNetConfig = UNetConfig(), hint_channels: int = 3, hint_downscale: int = 8
+) -> Params:
     kg = KeyGen(key)
     emb_dim = cfg.model_channels * 4
     enc, skips = unet_encoder_init(kg, cfg, emb_dim)
@@ -66,7 +80,7 @@ def controlnet_init(key, cfg: UNetConfig = UNetConfig(), hint_channels: int = 3)
             "fc1": dense_init(kg(), cfg.model_channels, emb_dim),
             "fc2": dense_init(kg(), emb_dim, emb_dim),
         },
-        "input_hint_block": hint_block_init(kg, cfg, hint_channels),
+        "input_hint_block": hint_block_init(kg, cfg, hint_channels, hint_downscale),
         "encoder": enc,
         "middle": unet_middle_init(kg, cfg, emb_dim),
         # One 1×1 zero conv per encoder skip (12 for SD1.5) + middle_block_out.
@@ -86,6 +100,7 @@ def controlnet_apply(
     attn_fn: AttnFn = xla_attention,
     control_scales: Optional[jnp.ndarray] = None,
     compute_dtype=jnp.float32,
+    hint_downscale: int = 8,
 ) -> list[jnp.ndarray]:
     """Return the 13 control residuals for ``unet_apply(control=...)``.
 
@@ -98,7 +113,7 @@ def controlnet_apply(
     temb = timestep_embedding(t, cfg.model_channels)
     emb = dense(p["time_embed"]["fc2"], silu(dense(p["time_embed"]["fc1"], temb))).astype(compute_dtype)
 
-    guided = hint_block_apply(p["input_hint_block"], hint)
+    guided = hint_block_apply(p["input_hint_block"], hint, hint_downscale)
     hs = unet_encoder_apply(
         p["encoder"], cfg, x, emb, context, lora.get("encoder"), attn_fn, extra_first=guided
     )

@@ -1,0 +1,232 @@
+"""The assembled system: VAE + UNet + ControlNet + text encoders + LoRA as one param bundle.
+
+This is the TPU-native equivalent of the reference's vendored ``LatentDiffusion``/``ControlLDM``
+object (``create_model(yaml)`` + monkey-patched text encoder + in-place LoRA wrapping, e.g.
+``LoRA_modified/multiseg_19prompts_batch1_shuffle_addlrSD.py:280-351``). Instead of a stateful
+model object, the pipeline is a frozen config + a dict of **parameter collections**:
+
+    {"unet", "vae", "controlnet", "bert", "adapter", "unet_lora", "ctrl_lora", ["clip"]}
+
+kept separate because the reference's whole checkpoint story is collection-wise: base weights
+loaded ``strict=False``, then filtered LoRA/adapter checkpoints overlaid
+(``quantitative_metrics.py:44-55``), and each training config marks different collections (or
+sub-paths of them) trainable. ``apply_model`` mirrors the reference's
+``model.apply_model(z_noisy, t, {c_crossattn, c_concat})`` contract (``addlrSD.py:458``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from topomap_tpu.core import DDIMConfig, DiffusionSchedule, ddim_sample, make_schedule
+from topomap_tpu.lora import LoRASpec, build_lora_tree
+from topomap_tpu.models.adapters import AdapterConfig, adapter_apply, adapter_init
+from topomap_tpu.models.attention import AttnFn, xla_attention
+from topomap_tpu.models.controlnet import controlnet_apply, controlnet_init
+from topomap_tpu.models.text_encoders import (
+    TextEncoderConfig,
+    text_encoder_apply,
+    text_encoder_init,
+)
+from topomap_tpu.models.unet import UNetConfig, unet_apply, unet_init
+from topomap_tpu.models.vae import VAEConfig, vae_decode, vae_encode, vae_init, vae_sample_latent
+from topomap_tpu.text.tokenizer import MAXLEN, CLIPTokenizer, WordPieceTokenizer
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    unet: UNetConfig = UNetConfig()
+    vae: VAEConfig = VAEConfig()
+    bert: TextEncoderConfig = TextEncoderConfig.bert_base()
+    clip: Optional[TextEncoderConfig] = TextEncoderConfig.clip_l()
+    adapter: AdapterConfig = AdapterConfig.config3()
+    unet_lora: Optional[LoRASpec] = None     # config 3: LoRASpec.qkv(8, 8)
+    ctrl_lora: Optional[LoRASpec] = LoRASpec.ctrlora(32)
+    num_train_timesteps: int = 1000
+    compute_dtype: Any = jnp.bfloat16
+
+    @staticmethod
+    def sd15_config3() -> "PipelineConfig":
+        """Flagship config 3 (addlrSD): ctrlora rank-32 + UNet qkv LoRA r=8."""
+        return PipelineConfig(unet_lora=LoRASpec.qkv(8, 8), ctrl_lora=LoRASpec.ctrlora(32))
+
+    @staticmethod
+    def sd15_config2() -> "PipelineConfig":
+        return PipelineConfig(unet_lora=None, ctrl_lora=LoRASpec.ctrlora(12))
+
+    @staticmethod
+    def sd15_config1() -> "PipelineConfig":
+        return PipelineConfig(unet_lora=None, ctrl_lora=LoRASpec.ctrlora(12))
+
+    @staticmethod
+    def tiny(with_clip: bool = False) -> "PipelineConfig":
+        """Test-scale pipeline: ~10⁵ params, latent 8×8 for 32² tiles."""
+        return PipelineConfig(
+            unet=UNetConfig.tiny(context_dim=32),
+            vae=VAEConfig.tiny(),
+            bert=TextEncoderConfig.tiny(),
+            clip=TextEncoderConfig.tiny(causal=True) if with_clip else None,
+            adapter=AdapterConfig(dim=32, hidden=32, depth=2),
+            unet_lora=LoRASpec.qkv(2, 4),
+            ctrl_lora=LoRASpec.ctrlora(4),
+            compute_dtype=jnp.float32,
+        )
+
+
+def init_pipeline(key, cfg: PipelineConfig) -> Params:
+    keys = jax.random.split(key, 8)
+    params: Params = {
+        "unet": unet_init(keys[0], cfg.unet),
+        "vae": vae_init(keys[1], cfg.vae),
+        "controlnet": controlnet_init(keys[2], cfg.unet, hint_downscale=cfg.vae.downscale),
+        "bert": text_encoder_init(keys[3], cfg.bert),
+        "adapter": adapter_init(keys[4], cfg.adapter),
+    }
+    if cfg.clip is not None:
+        params["clip"] = text_encoder_init(keys[5], cfg.clip)
+    if cfg.unet_lora is not None:
+        params["unet_lora"] = build_lora_tree(params["unet"], cfg.unet_lora, keys[6])
+    if cfg.ctrl_lora is not None:
+        params["ctrl_lora"] = build_lora_tree(params["controlnet"], cfg.ctrl_lora, keys[7])
+    return params
+
+
+def simulate_pretrained(params: Params, key, scale: float = 0.02) -> Params:
+    """Replace all-zero leaves of the BASE collections (unet/vae/controlnet/bert/clip/adapter)
+    with small random values, leaving LoRA trees untouched (B stays 0 → identity).
+
+    Rationale: every reference config assumes the pretrained ``Swisstopo.ckpt`` base, whose
+    zero_module-initialized layers are no longer zero after SD training. A from-scratch
+    zero-init base has a dead output conv, so LoRA-only training configs would receive zero
+    gradient. Tests and from-scratch experiments call this to get a "trained-base-like"
+    starting point; production loads real converted checkpoints instead
+    (``topomap_tpu.utils.torch_ckpt``).
+    """
+    out = dict(params)
+    for coll in ("unet", "vae", "controlnet", "bert", "clip", "adapter"):
+        if coll not in out:
+            continue
+        leaves, treedef = jax.tree.flatten(out[coll])
+        keys = jax.random.split(jax.random.fold_in(key, hash(coll) % (2**31)), len(leaves))
+        new = [
+            jax.random.normal(k, l.shape, l.dtype) * scale
+            if float(jnp.abs(l).sum()) == 0.0
+            else l
+            for k, l in zip(keys, leaves)
+        ]
+        out[coll] = jax.tree.unflatten(treedef, new)
+    return out
+
+
+def make_tokenizers(cfg: PipelineConfig, vocab_file=None, clip_vocab=None, clip_merges=None):
+    wp = WordPieceTokenizer(vocab_file, vocab_size=cfg.bert.vocab_size)
+    ct = (
+        CLIPTokenizer(clip_vocab, clip_merges, vocab_size=cfg.clip.vocab_size)
+        if cfg.clip is not None
+        else None
+    )
+    return wp, ct
+
+
+def encode_text(
+    params: Params, cfg: PipelineConfig, ids: jnp.ndarray, attn_mask: jnp.ndarray
+) -> jnp.ndarray:
+    """The BERT-adapter conditioning path (``addlrSD.py:186-198``): frozen BERT
+    last_hidden_state (stop_gradient) → trainable LastStateAdapter → [B,77,768]."""
+    hidden = text_encoder_apply(params["bert"], cfg.bert, ids, attn_mask)
+    hidden = jax.lax.stop_gradient(hidden)
+    return adapter_apply(params["adapter"], cfg.adapter, hidden)
+
+
+def encode_clip(params: Params, cfg: PipelineConfig, ids: jnp.ndarray) -> jnp.ndarray:
+    """``get_learned_conditioning`` — frozen CLIP text tower."""
+    return jax.lax.stop_gradient(text_encoder_apply(params["clip"], cfg.clip, ids))
+
+
+def apply_model(
+    params: Params,
+    cfg: PipelineConfig,
+    z_noisy: jnp.ndarray,
+    t: jnp.ndarray,
+    cond: dict[str, jnp.ndarray],
+    control_scales: Optional[jnp.ndarray] = None,
+    attn_fn: AttnFn = xla_attention,
+) -> jnp.ndarray:
+    """eps prediction with ControlNet conditioning.
+
+    ``cond = {"crossattn": [B,T,D], "concat": [B,H,W,3]}`` — the jnp equivalent of the
+    reference's ``{c_crossattn: [...], c_concat: [...]}``.
+    """
+    control = controlnet_apply(
+        params["controlnet"],
+        cfg.unet,
+        z_noisy,
+        cond["concat"],
+        t,
+        cond["crossattn"],
+        lora=params.get("ctrl_lora"),
+        attn_fn=attn_fn,
+        control_scales=control_scales,
+        compute_dtype=cfg.compute_dtype,
+        hint_downscale=cfg.vae.downscale,
+    )
+    return unet_apply(
+        params["unet"],
+        cfg.unet,
+        z_noisy,
+        t,
+        cond["crossattn"],
+        control=control,
+        lora=params.get("unet_lora"),
+        attn_fn=attn_fn,
+        compute_dtype=cfg.compute_dtype,
+    )
+
+
+def encode_image(params: Params, cfg: PipelineConfig, rng, img: jnp.ndarray) -> jnp.ndarray:
+    """``get_first_stage_encoding(encode_first_stage(img))`` — [B,H,W,3] in [−1,1] → scaled latent."""
+    mean, logvar = vae_encode(params["vae"], cfg.vae, img)
+    return vae_sample_latent(rng, mean, logvar, cfg.vae.scale_factor)
+
+
+def decode_latent(params: Params, cfg: PipelineConfig, z: jnp.ndarray) -> jnp.ndarray:
+    """``decode_first_stage`` in fp32 with clamp (``vis_metrics.py:450-452``)."""
+    return jnp.clip(vae_decode(params["vae"], cfg.vae, z), -1.0, 1.0)
+
+
+def sample(
+    params: Params,
+    cfg: PipelineConfig,
+    sched: DiffusionSchedule,
+    ddim: DDIMConfig,
+    rng,
+    seg: jnp.ndarray,
+    crossattn: jnp.ndarray,
+    uncond_crossattn: Optional[jnp.ndarray] = None,
+    control_scales: Optional[jnp.ndarray] = None,
+    attn_fn: AttnFn = xla_attention,
+    decode: bool = True,
+) -> jnp.ndarray:
+    """Full conditional DDIM sampling of a batch of tiles.
+
+    Reference semantics (``vis_metrics.sample_preview:408-452``): uncond cross-attention is a
+    ZERO embedding by default; both branches share the seg hint. Returns decoded images in
+    [−1,1] (or raw latents with ``decode=False``).
+    """
+    b = seg.shape[0]
+    ds = cfg.vae.downscale
+    shape = (b, seg.shape[1] // ds, seg.shape[2] // ds, cfg.unet.in_channels)
+    if uncond_crossattn is None:
+        uncond_crossattn = jnp.zeros_like(crossattn)
+    denoise = lambda z, t, c: apply_model(
+        params, cfg, z, t, c, control_scales=control_scales, attn_fn=attn_fn
+    )
+    cond = {"crossattn": crossattn, "concat": seg}
+    uncond = {"crossattn": uncond_crossattn, "concat": seg}
+    z0 = ddim_sample(denoise, sched, ddim, rng, shape, cond, uncond)
+    return decode_latent(params, cfg, z0) if decode else z0

@@ -1,0 +1,151 @@
+"""The jitted training step and loop.
+
+TPU-native redesign of the reference's per-script training loop
+(``multiseg_19prompts_batch1_shuffle_addlrSD.py:429-488``): VAE-encode → ``q_sample`` →
+``apply_model`` → ε-MSE → clip → AdamW. Differences that matter on TPU:
+
+* The entire step — including the frozen-BERT text encoding and VAE encode — is ONE jitted
+  function; nothing crosses the host boundary but the input batch and the scalar loss.
+* Frozen parameters are excluded from differentiation with ``stop_gradient`` (via the
+  trainable mask), not by Python-level ``requires_grad`` mutation.
+* AMP GradScaler is unnecessary: matmuls run in bfloat16 (no gradient underflow scaling
+  needed on TPU), fp32 master weights and fp32 loss.
+* Data parallelism is a sharding annotation (batch axis over the mesh); the gradient
+  all-reduce is inserted by GSPMD. The reference trained at batch 1 *because of memory*;
+  here global batch = per-chip batch × mesh size.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from topomap_tpu.core import DiffusionSchedule, q_sample
+from topomap_tpu.core.schedules import predict_start_from_noise
+from topomap_tpu.pipeline import PipelineConfig, apply_model, encode_text, decode_latent
+from topomap_tpu.models.vae import vae_encode, vae_sample_latent
+from topomap_tpu.train.losses import eps_mse, masked_color_losses, maskloss_total
+from topomap_tpu.train.optim import OptimConfig, LABELERS, build_optimizer, trainable_mask
+
+Params = dict[str, Any]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Params
+    opt_state: Any
+    step: jnp.ndarray  # scalar int32
+
+
+def _apply_trainable_mask(params: Params, mask: Params) -> Params:
+    """stop_gradient on frozen leaves so jax.grad never differentiates the frozen 1B-param
+    trunk (the functional analogue of ``requires_grad=False``)."""
+    return jax.tree.map(
+        lambda p, m: p if m else jax.lax.stop_gradient(p), params, mask
+    )
+
+
+def make_train_step(
+    cfg: PipelineConfig,
+    sched: DiffusionSchedule,
+    tx: optax.GradientTransformation,
+    labeler_name: str = "config3",
+    use_maskloss: bool = False,
+    maskloss_warmup: int = 10_000,
+    attn_fn=None,
+) -> Callable:
+    """Build the jitted train step.
+
+    Batch schema (device arrays): ``{"seg": [B,H,W,3] f32 [0,1], "gt": [B,H,W,3] f32 [−1,1],
+    "ids": [B,77] i32, "mask": [B,77] i32, ["class_rgb": [B,3] f32]}``.
+    """
+    from topomap_tpu.models.attention import xla_attention
+
+    attn_fn = attn_fn or xla_attention
+    labeler = LABELERS[labeler_name]
+
+    def train_step(state: TrainState, batch, rng):
+        mask_tree = trainable_mask(state.params, labeler)
+        rng_vae, rng_t, rng_noise = jax.random.split(jax.random.fold_in(rng, state.step), 3)
+
+        def loss_fn(params):
+            params = _apply_trainable_mask(params, mask_tree)
+            # VAE encode (frozen; sampled posterior like get_first_stage_encoding)
+            mean, logvar = vae_encode(params["vae"], cfg.vae, batch["gt"])
+            z = vae_sample_latent(rng_vae, mean, logvar, cfg.vae.scale_factor)
+            z = jax.lax.stop_gradient(z)
+            b = z.shape[0]
+            t = jax.random.randint(rng_t, (b,), 0, sched.num_timesteps)
+            noise = jax.random.normal(rng_noise, z.shape)
+            z_noisy = q_sample(sched, z, t, noise)
+            c = encode_text(params, cfg, batch["ids"], batch["mask"])
+            cond = {"crossattn": c, "concat": batch["seg"]}
+            eps_hat = apply_model(params, cfg, z_noisy, t, cond, attn_fn=attn_fn)
+            mse = eps_mse(eps_hat, noise)
+            aux = {"train_mse": mse}
+            if use_maskloss:
+                x0 = predict_start_from_noise(sched, z_noisy, t, eps_hat)
+                img_pred = (decode_latent(params, cfg, x0) + 1.0) * 0.5
+                gt01 = (batch["gt"] + 1.0) * 0.5
+                lc, ls = masked_color_losses(img_pred, gt01, batch["seg"], batch["class_rgb"])
+                total = maskloss_total(mse, lc, ls, state.step, maskloss_warmup)
+                aux.update({"loss_color": lc, "loss_stable": ls})
+                return total, aux
+            return mse, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
+        return new_state, dict(aux, loss=loss)
+
+    return train_step
+
+
+def init_train_state(params: Params, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(params=params, opt_state=tx.init(params), step=jnp.asarray(0, jnp.int32))
+
+
+def make_validate_step(cfg: PipelineConfig, sched: DiffusionSchedule, iters: int = 8, seed: int = 12345, attn_fn=None):
+    """ε-MSE validation averaged over ``iters`` random (t, noise) draws with a FIXED seed —
+    mirrors ``vis_metrics.validate_step`` (``:74-116``)."""
+    from topomap_tpu.models.attention import xla_attention
+
+    attn_fn = attn_fn or xla_attention
+
+    def validate(params: Params, batch) -> jnp.ndarray:
+        rng = jax.random.PRNGKey(seed)
+        mean, logvar = vae_encode(params["vae"], cfg.vae, batch["gt"])
+        z = vae_sample_latent(jax.random.fold_in(rng, 0), mean, logvar, cfg.vae.scale_factor)
+        c = encode_text(params, cfg, batch["ids"], batch["mask"])
+        cond = {"crossattn": c, "concat": batch["seg"]}
+
+        def body(i, acc):
+            r = jax.random.fold_in(rng, i + 1)
+            rt, rn = jax.random.split(r)
+            t = jax.random.randint(rt, (z.shape[0],), 0, sched.num_timesteps)
+            noise = jax.random.normal(rn, z.shape)
+            eps_hat = apply_model(params, cfg, q_sample(sched, z, t, noise), t, cond, attn_fn=attn_fn)
+            return acc + eps_mse(eps_hat, noise)
+
+        return jax.lax.fori_loop(0, iters, body, 0.0) / iters
+
+    return validate
+
+
+class MeterEMA:
+    """EMA loss meter, β=0.98 with bias correction (``vis_metrics.py:63-71``)."""
+
+    def __init__(self, beta: float = 0.98):
+        self.beta = beta
+        self.value = 0.0
+        self.count = 0
+
+    def update(self, x: float) -> float:
+        self.count += 1
+        self.value = self.beta * self.value + (1 - self.beta) * float(x)
+        return self.value / (1 - self.beta**self.count)
