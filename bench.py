@@ -1,0 +1,87 @@
+"""Benchmark: stylized 512² tiles/sec/chip at 50 DDIM steps on the flagship SD1.5 pipeline.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}. ``vs_baseline`` is measured
+against the north-star target of 8 tiles/sec/chip (BASELINE.json — the reference itself
+publishes no numbers; see BASELINE.md).
+
+The measured program is the production sampling path: jitted lax.scan over 50 DDIM steps,
+each step one batched-2B (cond+uncond CFG) UNet+ControlNet forward in bfloat16 with the
+Pallas attention kernel, followed by the VAE decode — everything on device.
+
+Env knobs: BENCH_BATCH (default 4), BENCH_STEPS (default 50), BENCH_REPS (default 3),
+BENCH_TINY=1 (smoke-test geometry for debugging).
+"""
+import json
+import os
+import sys
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from topomap_tpu.core import DDIMConfig, make_schedule
+    from topomap_tpu.ops.flash_attention import best_attention_fn
+    from topomap_tpu.pipeline import (
+        PipelineConfig,
+        init_pipeline,
+        sample,
+        simulate_pretrained,
+    )
+
+    tiny = os.environ.get("BENCH_TINY") == "1"
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    steps = int(os.environ.get("BENCH_STEPS", "50"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+
+    cfg = PipelineConfig.tiny() if tiny else PipelineConfig.sd15_config3()
+    size = 32 if tiny else 512
+    ctx_dim = cfg.unet.context_dim
+    sched = make_schedule(cfg.num_train_timesteps)
+    ddim = DDIMConfig(num_steps=steps, guidance_scale=7.5, eta=0.0)
+    attn_fn = best_attention_fn()
+
+    print(f"bench: init params ({'tiny' if tiny else 'sd15'})...", file=sys.stderr, flush=True)
+    params = simulate_pretrained(init_pipeline(jax.random.PRNGKey(0), cfg), jax.random.PRNGKey(1))
+    # sampling does not need the text towers — drop them so device HBM holds only the hot path
+    params = {k: v for k, v in params.items() if k in ("unet", "vae", "controlnet", "unet_lora", "ctrl_lora")}
+    params = jax.device_put(params)
+
+    seg = jnp.zeros((batch, size, size, 3), jnp.float32)
+    context = jax.random.normal(jax.random.PRNGKey(2), (batch, 77, ctx_dim), jnp.float32)
+
+    def run(rng):
+        return sample(params, cfg, sched, ddim, rng, seg, context, attn_fn=attn_fn)
+
+    run_jit = jax.jit(run)
+    print("bench: compiling...", file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    out = run_jit(jax.random.PRNGKey(0))
+    jax.block_until_ready(out)
+    print(f"bench: compile+first run {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
+
+    times = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        out = run_jit(jax.random.PRNGKey(i + 1))
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    tiles_per_sec = batch / best
+    print(f"bench: times={['%.2f' % t for t in times]}s batch={batch} steps={steps}", file=sys.stderr, flush=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": f"stylized {size}x{size} tiles/sec/chip @ {steps} DDIM steps (SD1.5+ControlNet, CFG, bf16)",
+                "value": round(tiles_per_sec, 4),
+                "unit": "tiles/sec/chip",
+                "vs_baseline": round(tiles_per_sec / 8.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

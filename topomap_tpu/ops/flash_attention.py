@@ -1,0 +1,129 @@
+"""Pallas TPU attention kernel for the SD UNet's spatial/cross attention.
+
+TPU-native replacement for the reference's xformers memory-efficient attention (enabled at
+``multiseg_19prompts_batch1_shuffle_addlrSD.py:302-306``). Shape regime (SD1.5 at 512² tiles):
+
+* self-attention: T = 4096/1024/256/64 tokens, head_dim 40/80/160,
+* cross-attention: T_q as above, T_k = 77 text tokens.
+
+Design: one grid step handles one (batch·head, q-block). K/V for that head are small enough
+to sit entirely in VMEM (4096×160 fp32 ≈ 2.6 MB), so the kernel computes the full logits row
+block [blk_q, T_k] in fp32 on the MXU, a numerically-stable softmax on the VPU, and the
+probs·V matmul back on the MXU — attention probabilities never touch HBM (the entire win of
+flash/memory-efficient attention at these sizes), with none of the online-softmax bookkeeping
+that only pays off when K/V exceed VMEM.
+
+Head dims are zero-padded to the 128-lane width outside the kernel: zero K columns add 0 to
+every logit and zero V columns produce zero (sliced-off) outputs, so padding is exact.
+
+LoRA composition: at inference the LoRA deltas are **merged into the projection weights**
+(``topomap_tpu.lora.merge_lora``) before the QKV matmuls, so this kernel needs no LoRA
+awareness; during training the unmerged adapters run as separate small matmuls that XLA fuses
+into the projection epilogue.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    q = q_ref[0].astype(jnp.float32)  # [blk_q, dh_pad]
+    k = k_ref[0].astype(jnp.float32)  # [t_k, dh_pad]
+    v = v_ref[0]                      # [t_k, dh_pad]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                          # [blk_q, t_k]
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = (p / denom).astype(v.dtype)
+    o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    block_q: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused attention. q [B,H,Tq,D], k/v [B,H,Tk,D] → [B,H,Tq,D]. No masking (the UNet's
+    spatial attention is dense; text cross-attention follows the reference in attending to
+    the full padded 77 tokens)."""
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    scale = d**-0.5
+
+    d_pad = _round_up(d, _LANE)
+    tk_pad = _round_up(tk, _LANE)
+    blk_q = min(block_q, _round_up(tq, _LANE))
+    tq_pad = _round_up(tq, blk_q)
+
+    qp = jnp.pad(q.reshape(b * h, tq, d), ((0, 0), (0, tq_pad - tq), (0, d_pad - d)))
+    kp = jnp.pad(k.reshape(b * h, tk, d), ((0, 0), (0, tk_pad - tk), (0, d_pad - d)))
+    vp = jnp.pad(v.reshape(b * h, tk, d), ((0, 0), (0, tk_pad - tk), (0, d_pad - d)))
+    if tk_pad != tk:
+        # Padded key rows must not receive probability mass: push their logits to -inf by
+        # writing a huge negative value into an otherwise-unused padded head-dim column of K
+        # and the matching q column to 1 ... simpler: bias via masking inside kernel is
+        # avoidable because padded K rows are all-zero → logit 0, NOT -inf. So instead mask
+        # here: set padded K rows of k to a large negative sentinel in one padded d column.
+        if d_pad == d:
+            qp = jnp.pad(qp, ((0, 0), (0, 0), (0, _LANE)))
+            kp = jnp.pad(kp, ((0, 0), (0, 0), (0, _LANE)))
+            vp = jnp.pad(vp, ((0, 0), (0, 0), (0, _LANE)))
+            d_pad += _LANE
+        qp = qp.at[:, :tq, d].set(1.0)
+        kp = kp.at[:, tk:, d].set(-1e9 / scale)
+
+    grid = (b * h, tq_pad // blk_q)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, blk_q, d_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk_pad, d_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk_pad, d_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, blk_q, d_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, tq_pad, d_pad), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * h * tq_pad * tk_pad * d_pad,
+            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
+            transcendentals=b * h * tq_pad * tk_pad,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :tq, :d].reshape(b, h, tq, d)
+
+
+def pallas_attention(q, k, v):
+    """Drop-in ``AttnFn`` for ``topomap_tpu.models.attention`` (compiled path)."""
+    return flash_attention(q, k, v)
+
+
+def pallas_attention_interpret(q, k, v):
+    """Interpreter-mode variant for CPU tests."""
+    return flash_attention(q, k, v, interpret=True)
+
+
+def best_attention_fn():
+    """Pick the Pallas kernel on TPU, the XLA einsum path elsewhere."""
+    from topomap_tpu.models.attention import xla_attention
+
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return xla_attention
+    return pallas_attention if platform in ("tpu", "axon") else xla_attention
