@@ -11,6 +11,7 @@ Pallas attention kernel, followed by the VAE decode — everything on device.
 Env knobs: BENCH_BATCH (default 4), BENCH_STEPS (default 50), BENCH_REPS (default 3),
 BENCH_TINY=1 (smoke-test geometry for debugging).
 """
+import contextlib
 import json
 import os
 import sys
@@ -43,10 +44,21 @@ def main():
     attn_fn = best_attention_fn()
 
     print(f"bench: init params ({'tiny' if tiny else 'sd15'})...", file=sys.stderr, flush=True)
-    params = simulate_pretrained(init_pipeline(jax.random.PRNGKey(0), cfg), jax.random.PRNGKey(1))
-    # sampling does not need the text towers — drop them so device HBM holds only the hot path
-    params = {k: v for k, v in params.items() if k in ("unet", "vae", "controlnet", "unet_lora", "ctrl_lora")}
-    params = jax.device_put(params)
+    # Init on host CPU: the init path is thousands of tiny ops — on a remote-TPU backend each
+    # would be a round trip. One device_put ships the finished tree.
+    t0 = time.perf_counter()
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except Exception:
+        cpu = None
+    ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
+    with ctx:
+        params = simulate_pretrained(init_pipeline(jax.random.PRNGKey(0), cfg), jax.random.PRNGKey(1))
+        # sampling does not need the text towers; keep only the hot path in device HBM
+        params = {k: v for k, v in params.items() if k in ("unet", "vae", "controlnet", "unet_lora", "ctrl_lora")}
+    params = jax.device_put(params, jax.devices()[0])
+    jax.block_until_ready(jax.tree.leaves(params)[0])
+    print(f"bench: params ready in {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
 
     seg = jnp.zeros((batch, size, size, 3), jnp.float32)
     context = jax.random.normal(jax.random.PRNGKey(2), (batch, 77, ctx_dim), jnp.float32)

@@ -1,0 +1,127 @@
+"""CLI end-to-end on the tiny preset + orbax/filtered checkpoint roundtrips."""
+import dataclasses
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from topomap_tpu.cli.main import main as cli_main
+from topomap_tpu.configs.presets import PRESETS, get_preset
+from topomap_tpu.pipeline import PipelineConfig, init_pipeline
+from topomap_tpu.train.optim import build_optimizer, config2_labeler
+from topomap_tpu.train.trainer import init_train_state
+from topomap_tpu.utils.checkpoint import (
+    load_filtered,
+    restore_latest,
+    save_filtered,
+    save_train_state,
+)
+
+
+def test_presets_construct():
+    for name in PRESETS:
+        p = get_preset(name)
+        assert p.name == name and p.steps > 0
+    c3 = get_preset("config3_addlrSD")
+    assert c3.pipeline.unet_lora is not None and c3.optim.config_name == "config3"
+    assert get_preset("config3_maskloss").use_maskloss
+
+
+def test_orbax_roundtrip(tmp_path):
+    cfg = PipelineConfig.tiny()
+    params = init_pipeline(jax.random.PRNGKey(0), cfg)
+    preset = get_preset("tiny_smoke")
+    tx, _ = build_optimizer(params, preset.optim)
+    state = init_train_state(params, tx)
+    state = dataclasses.replace(state, step=jnp.asarray(7, jnp.int32))
+    save_train_state(tmp_path / "ckpt", state, 7)
+
+    blank = init_train_state(init_pipeline(jax.random.PRNGKey(9), cfg), tx)
+    restored, step = restore_latest(tmp_path / "ckpt", blank)
+    assert step == 7 and int(restored.step) == 7
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_restore_latest_empty_dir(tmp_path):
+    cfg = PipelineConfig.tiny()
+    params = init_pipeline(jax.random.PRNGKey(0), cfg)
+    tx, _ = build_optimizer(params, get_preset("tiny_smoke").optim)
+    state = init_train_state(params, tx)
+    _, step = restore_latest(tmp_path / "none", state)
+    assert step == 0
+
+
+def test_filtered_save_load(tmp_path):
+    cfg = PipelineConfig.tiny()
+    params = init_pipeline(jax.random.PRNGKey(0), cfg)
+    written = save_filtered(tmp_path, params, 5, labeler=config2_labeler)
+    names = {p.name for p in written}
+    assert {"adapter_step5.npz", "ctrl_lora_step5.npz", "unet_lora_step5.npz",
+            "controlnet_ft_step5.npz"} <= names
+    # overlay onto fresh params
+    other = init_pipeline(jax.random.PRNGKey(1), cfg)
+    merged = load_filtered(other, tmp_path / "adapter_step5.npz", "adapter")
+    np.testing.assert_array_equal(
+        np.asarray(merged["adapter"]["out"]["w"]), np.asarray(params["adapter"]["out"]["w"])
+    )
+    # other collections untouched
+    np.testing.assert_array_equal(
+        np.asarray(merged["unet"]["out_conv"]["w"]), np.asarray(other["unet"]["out_conv"]["w"])
+    )
+
+
+def test_cli_make_data_train_sample_evaluate(tmp_path):
+    data_dir = tmp_path / "data"
+    cli_main(["make-data", "--out", str(data_dir), "--tiles", "2"])
+    assert (data_dir / "pairs.jsonl").exists()
+
+    run_dir = tmp_path / "run"
+    cli_main([
+        "train", "--preset", "tiny_smoke", "--data", str(data_dir / "pairs.jsonl"),
+        "--out", str(run_dir), "--steps", "6", "--size", "32", "--log-every", "2",
+    ])
+    log = json.loads((run_dir / "loss_log.json").read_text())
+    assert len(log["step"]) == 6
+    assert (run_dir / "ckpt").exists()
+
+    seg_png = next((data_dir / "source").glob("*.png"))
+    out_png = tmp_path / "out.png"
+    cli_main([
+        "sample", "--preset", "tiny_smoke", "--ckpt", str(run_dir),
+        "--prompt", "Set Forest color to dark green", "--seg", str(seg_png),
+        "--out", str(out_png), "--size", "32", "--ddim-steps", "2",
+    ])
+    assert out_png.exists()
+
+    metrics_json = tmp_path / "metrics.json"
+    cli_main([
+        "evaluate", "--preset", "tiny_smoke", "--ckpt", str(run_dir),
+        "--data", str(data_dir / "pairs.jsonl"), "--per-prompt", "1",
+        "--size", "32", "--ddim-steps", "2", "--out", str(metrics_json),
+    ])
+    res = json.loads(metrics_json.read_text())
+    assert "means" in res and res["rows"]
+
+
+def test_cli_stylize_sheet(tmp_path):
+    from PIL import Image
+
+    from topomap_tpu.data.synthetic import generate_seg_tile
+
+    sheet = np.concatenate(
+        [np.concatenate([generate_seg_tile(i * 2 + j)[:32, :32] for j in range(2)], axis=1)
+         for i in range(2)],
+        axis=0,
+    )  # 64x64 = 2x2 tiles of 32
+    sheet_png = tmp_path / "sheet.png"
+    Image.fromarray(sheet).save(sheet_png)
+    out_png = tmp_path / "styled.png"
+    cli_main([
+        "stylize-sheet", "--preset", "tiny_smoke", "--sheet", str(sheet_png),
+        "--prompt", "Set Lake color to navy blue", "--out", str(out_png),
+        "--size", "32", "--ddim-steps", "2", "--batch-tiles", "2",
+    ])
+    out = np.array(Image.open(out_png))
+    assert out.shape == (64, 64, 3)

@@ -1,0 +1,315 @@
+"""CLI entry points: train / sample / evaluate / stylize-sheet / make-data.
+
+The reference has no CLI — every experiment is a standalone script with hard-coded Windows
+paths (SURVEY.md §5, ``addlrSD.py:47-65``). Here one binary drives every preset:
+
+    python -m topomap_tpu.cli.main train --preset config3_addlrSD --data pairs.jsonl --out runs/c3
+    python -m topomap_tpu.cli.main sample --preset config3_addlrSD --ckpt runs/c3 --prompt "..." --seg tile.png
+    python -m topomap_tpu.cli.main evaluate --preset config3_addlrSD --ckpt runs/c3 --data pairs_test.jsonl
+    python -m topomap_tpu.cli.main stylize-sheet --sheet seg_sheet.png --out sheet_styled.png
+    python -m topomap_tpu.cli.main make-data --out data/synth --tiles 8
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _setup(args):
+    import jax
+
+    from topomap_tpu.configs.presets import get_preset
+    from topomap_tpu.core import make_schedule
+    from topomap_tpu.pipeline import init_pipeline, make_tokenizers, simulate_pretrained
+    from topomap_tpu.utils.torch_ckpt import load_sd_checkpoint, read_torch_file
+
+    preset = get_preset(args.preset)
+    cfg = preset.pipeline
+    sched = make_schedule(cfg.num_train_timesteps)
+    params = init_pipeline(jax.random.PRNGKey(preset.seed), cfg)
+    if getattr(args, "base_ckpt", None):
+        sd = read_torch_file(args.base_ckpt)
+        params, report = load_sd_checkpoint(params, cfg, sd)
+        print(f"loaded base ckpt: {report['loaded']} tensors, "
+              f"{len(report['missing'])} missing, {len(report['unexpected'])} unexpected")
+    else:
+        params = simulate_pretrained(params, jax.random.PRNGKey(preset.seed + 1))
+        print("no --base-ckpt: using simulated-pretrained base (random weights)")
+    tok, clip_tok = make_tokenizers(cfg)
+    return preset, cfg, sched, params, tok, clip_tok
+
+
+def cmd_train(args):
+    import jax
+
+    from topomap_tpu.data.pairs import PairsDataset, read_pairs_jsonl, stratified_split_ratio
+    from topomap_tpu.eval.losslog import (
+        append_train,
+        append_val,
+        load_loss_log,
+        save_loss_curve,
+        save_loss_log,
+    )
+    from topomap_tpu.train.losses import prompt_class_rgb
+    from topomap_tpu.train.optim import build_optimizer
+    from topomap_tpu.train.trainer import (
+        MeterEMA,
+        init_train_state,
+        make_train_step,
+        make_validate_step,
+    )
+    from topomap_tpu.utils.checkpoint import restore_latest, save_filtered, save_train_state
+
+    preset, cfg, sched, params, tok, _ = _setup(args)
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    records = read_pairs_jsonl(args.data)
+    train_recs, val_recs, _ = stratified_split_ratio(records, shuffle_seed=preset.seed)
+    ds = PairsDataset(train_recs, size=args.size)
+    val_ds = PairsDataset(val_recs or train_recs, size=args.size)
+    print(f"dataset: {len(ds)} train / {len(val_ds)} val tiles")
+
+    tx, _ = build_optimizer(params, preset.optim)
+    state = init_train_state(params, tx)
+    state, start_step = restore_latest(out / "ckpt", state)
+    if start_step:
+        print(f"resumed from step {start_step}")
+
+    step_fn = jax.jit(
+        make_train_step(cfg, sched, tx, preset.optim.config_name, preset.use_maskloss,
+                        preset.maskloss_warmup)
+    )
+    val_fn = jax.jit(make_validate_step(cfg, sched))
+    log = load_loss_log(out / "loss_log.json")
+    meter = MeterEMA()
+    rng = jax.random.PRNGKey(preset.seed)
+
+    def to_device_batch(b):
+        import jax.numpy as jnp
+
+        ids, mask = tok.encode(b["prompt"])
+        batch = {
+            "seg": jnp.asarray(b["seg"]),
+            "gt": jnp.asarray(b["gt"]),
+            "ids": jnp.asarray(ids),
+            "mask": jnp.asarray(mask),
+        }
+        if preset.use_maskloss:
+            batch["class_rgb"] = prompt_class_rgb(b["prompt"])
+        return batch
+
+    steps = args.steps or preset.steps
+    t0 = time.time()
+    it = ds.iter_batches(preset.batch_size, shuffle=True, seed=preset.seed)
+    for batch_host in it:
+        if int(state.step) >= steps:
+            break
+        batch = to_device_batch(batch_host)
+        state, metrics = step_fn(state, batch, rng)
+        step = int(state.step)
+        loss = float(metrics["loss"])
+        ema = meter.update(loss)
+        append_train(log, step, loss, ema)
+        if step % args.log_every == 0:
+            rate = step / max(time.time() - t0, 1e-9)
+            print(f"step {step}/{steps} loss {loss:.4f} ema {ema:.4f} ({rate:.2f} it/s)")
+        if step % preset.val_every == 0 or step >= steps:
+            vb = to_device_batch(next(val_ds.iter_batches(min(4, len(val_ds)), shuffle=False)))
+            val_mse = float(val_fn(state.params, vb))
+            append_val(log, step, val_mse)
+            print(f"  val_mse {val_mse:.4f}")
+            save_loss_log(log, out / "loss_log.json")
+            save_loss_curve(log, out / "loss_curve.png")
+            save_train_state(out / "ckpt", state, step)
+            save_filtered(out / "filtered", state.params, step)
+    save_loss_log(log, out / "loss_log.json")
+    save_train_state(out / "ckpt", state, int(state.step))
+    print(f"done at step {int(state.step)}")
+
+
+def cmd_sample(args):
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from topomap_tpu.eval.sampling import sample_preview
+    from topomap_tpu.ops.image import from_signed
+
+    preset, cfg, sched, params, tok, _ = _setup(args)
+    params = _maybe_restore(args, preset, cfg, params)
+    seg = np.array(Image.open(args.seg).convert("RGB").resize((args.size, args.size), Image.NEAREST))
+    ids, mask = tok.encode([args.prompt])
+    batch = {
+        "seg": jnp.asarray(seg[None] / 255.0, jnp.float32),
+        "ids": jnp.asarray(ids),
+        "mask": jnp.asarray(mask),
+    }
+    img = sample_preview(params, cfg, sched, batch, steps=args.ddim_steps, scale=args.scale,
+                         seed=args.seed)
+    out_img = np.asarray(from_signed(img[0]))
+    Image.fromarray(out_img).save(args.out)
+    print(f"wrote {args.out}")
+
+
+def _maybe_restore(args, preset, cfg, params):
+    if getattr(args, "ckpt", None):
+        import jax
+
+        from topomap_tpu.train.optim import build_optimizer
+        from topomap_tpu.train.trainer import init_train_state
+        from topomap_tpu.utils.checkpoint import restore_latest
+
+        tx, _ = build_optimizer(params, preset.optim)
+        state = init_train_state(params, tx)
+        state, step = restore_latest(Path(args.ckpt) / "ckpt", state)
+        print(f"restored step {step}")
+        return state.params
+    return params
+
+
+def cmd_evaluate(args):
+    import jax.numpy as jnp
+
+    from topomap_tpu.data.pairs import PairsDataset, read_pairs_jsonl
+    from topomap_tpu.eval.metrics import color_histogram_l1, mse_rgb, psnr_rgb
+    from topomap_tpu.eval.sampling import sample_preview
+    from topomap_tpu.ops.image import from_signed
+
+    preset, cfg, sched, params, tok, _ = _setup(args)
+    params = _maybe_restore(args, preset, cfg, params)
+    records = read_pairs_jsonl(args.data)
+    # group by prompt, sample ≤N per prompt (quantitative_metrics.py:123-145)
+    by_prompt: dict[str, list] = {}
+    for r in records:
+        by_prompt.setdefault(r.prompt, []).append(r)
+    rows = []
+    for prompt, recs in sorted(by_prompt.items()):
+        for r in recs[: args.per_prompt]:
+            ds = PairsDataset([r], size=args.size)
+            item = ds[0]
+            ids, mask = tok.encode([prompt])
+            batch = {
+                "seg": jnp.asarray(item["seg"][None]),
+                "ids": jnp.asarray(ids),
+                "mask": jnp.asarray(mask),
+            }
+            img = sample_preview(params, cfg, sched, batch, steps=args.ddim_steps,
+                                 scale=args.scale, seed=args.seed)
+            pred = jnp.asarray(np.asarray(from_signed(img[0])), jnp.float32)
+            gt = jnp.asarray((item["gt"] + 1.0) * 127.5, jnp.float32)
+            rows.append({
+                "prompt": prompt,
+                "source": r.source,
+                "mse": float(mse_rgb(pred, gt)),
+                "psnr": float(psnr_rgb(pred, gt)),
+                "hist_l1": float(color_histogram_l1(pred, gt)),
+            })
+            print(f"{prompt[:40]:40s} mse {rows[-1]['mse']:8.2f} psnr {rows[-1]['psnr']:6.2f}")
+    means = {k: float(np.mean([r[k] for r in rows])) for k in ("mse", "psnr", "hist_l1")}
+    print("means:", json.dumps(means))
+    if args.out:
+        Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump({"rows": rows, "means": means}, f, indent=1)
+
+
+def cmd_stylize_sheet(args):
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from topomap_tpu.eval.sampling import stylize_sheet
+    from topomap_tpu.pipeline import encode_text
+
+    preset, cfg, sched, params, tok, _ = _setup(args)
+    params = _maybe_restore(args, preset, cfg, params)
+    sheet = np.array(Image.open(args.sheet).convert("RGB"))
+    ids, mask = tok.encode([args.prompt])
+
+    def crossattn_fn(n):
+        c = encode_text(params, cfg, jnp.asarray(ids), jnp.asarray(mask))
+        return jnp.tile(c, (n, 1, 1))
+
+    contours = None
+    if args.contours:
+        contours = jnp.asarray(np.array(Image.open(args.contours).convert("RGB")))
+    out = stylize_sheet(
+        params, cfg, sched, jnp.asarray(sheet), crossattn_fn,
+        tile=args.size, steps=args.ddim_steps, scale=args.scale, seed=args.seed,
+        batch_tiles=args.batch_tiles, contours_u8=contours,
+    )
+    Image.fromarray(np.asarray(out)).save(args.out)
+    print(f"wrote {args.out} ({out.shape[1]}x{out.shape[0]})")
+
+
+def cmd_make_data(args):
+    from topomap_tpu.data.synthetic import generate_pairs_dataset
+
+    recs = generate_pairs_dataset(args.out, n_tiles=args.tiles, seed=args.seed)
+    print(f"wrote {len(recs)} pairs under {args.out}")
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="topomap", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, ckpt=True):
+        sp.add_argument("--preset", default="config3_addlrSD")
+        sp.add_argument("--base-ckpt", default=None, help="LDM .ckpt/.safetensors base weights")
+        sp.add_argument("--size", type=int, default=512)
+        sp.add_argument("--ddim-steps", type=int, default=12)
+        sp.add_argument("--scale", type=float, default=7.5)
+        sp.add_argument("--seed", type=int, default=1234)
+        if ckpt:
+            sp.add_argument("--ckpt", default=None, help="training run dir to restore")
+
+    sp = sub.add_parser("train")
+    common(sp, ckpt=False)
+    sp.add_argument("--data", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--steps", type=int, default=None)
+    sp.add_argument("--log-every", type=int, default=50)
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("sample")
+    common(sp)
+    sp.add_argument("--prompt", required=True)
+    sp.add_argument("--seg", required=True)
+    sp.add_argument("--out", default="sample.png")
+    sp.set_defaults(fn=cmd_sample)
+
+    sp = sub.add_parser("evaluate")
+    common(sp)
+    sp.add_argument("--data", required=True)
+    sp.add_argument("--per-prompt", type=int, default=5)
+    sp.add_argument("--out", default=None)
+    sp.set_defaults(fn=cmd_evaluate)
+
+    sp = sub.add_parser("stylize-sheet")
+    common(sp)
+    sp.add_argument("--sheet", required=True)
+    sp.add_argument("--prompt", default="")
+    sp.add_argument("--contours", default=None)
+    sp.add_argument("--batch-tiles", type=int, default=4)
+    sp.add_argument("--out", default="sheet_styled.png")
+    sp.set_defaults(fn=cmd_stylize_sheet)
+
+    sp = sub.add_parser("make-data")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--tiles", type=int, default=8)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_make_data)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

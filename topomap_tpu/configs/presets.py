@@ -1,0 +1,184 @@
+"""Named experiment presets — the reference's script-per-experiment zoo as config values.
+
+Each preset reproduces one reference training regime (SURVEY.md §2.5-2.7): model topology
+(PipelineConfig), trainability/optimizer (OptimConfig), schedule and data knobs. The three
+flagship configurations are ``config1_onlyCNLora`` / ``config2_ctrlora`` / ``config3_addlrSD``
+(README.md:1-7 of the reference); the overfit-laboratory regimes cover the
+``experiment_overfit/`` progression.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+from topomap_tpu.lora import LoRASpec
+from topomap_tpu.models.adapters import AdapterConfig
+from topomap_tpu.pipeline import PipelineConfig
+from topomap_tpu.train.optim import OptimConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentPreset:
+    name: str
+    pipeline: PipelineConfig
+    optim: OptimConfig
+    steps: int
+    batch_size: int
+    val_every: int
+    ddim_steps: int = 12
+    guidance_scale: float = 7.5
+    seed: int = 42
+    use_maskloss: bool = False
+    maskloss_warmup: int = 10_000
+    use_lpips: bool = False
+    repeat_dataset: int = 1  # overfit regimes repeat items
+    description: str = ""
+
+
+def config1_onlyCNLora() -> ExperimentPreset:
+    """Train only ctrlora LoRA + adapter (``onlyCNLora.py``: rank-12, lrs 3e-5/5e-5,
+    warmup 11400, 150k steps, batch 1)."""
+    return ExperimentPreset(
+        name="config1_onlyCNLora",
+        pipeline=PipelineConfig(
+            unet_lora=None, ctrl_lora=LoRASpec.ctrlora(12), adapter=AdapterConfig.config1()
+        ),
+        optim=OptimConfig(config_name="config1", total_steps=150_000, warmup=11_400),
+        steps=150_000,
+        batch_size=1,
+        val_every=30_000,
+        description="ControlNet-LoRA-only, 19-prompt Item_color suite",
+    )
+
+
+def config2_ctrlora() -> ExperimentPreset:
+    """ctrlora LoRA + ControlNet zero-convs/middle-out/norms (``ctrlora.py``: lrs
+    7e-5/1e-4/1e-5, LR floor 2e-5)."""
+    return ExperimentPreset(
+        name="config2_ctrlora",
+        pipeline=PipelineConfig(
+            unet_lora=None, ctrl_lora=LoRASpec.ctrlora(12), adapter=AdapterConfig.config1()
+        ),
+        optim=OptimConfig(
+            config_name="config2",
+            total_steps=150_000,
+            warmup=11_400,
+            lr_floor=2e-5,
+            lr_overrides={"ctrl_lora": 7e-5, "ctrl_ft": 1e-4, "adapter": 1e-5},
+        ),
+        steps=150_000,
+        batch_size=1,
+        val_every=30_000,
+        description="ctrlora + ControlNet fine-tune subset",
+    )
+
+
+def config3_addlrSD() -> ExperimentPreset:
+    """Config 2 + UNet qkv LoRA r=8 on rank-32 ctrlora (``addlrSD.py``: lrs 2e-5/5e-5/5e-5,
+    warmup 15000, Element_Styling suite)."""
+    return ExperimentPreset(
+        name="config3_addlrSD",
+        pipeline=PipelineConfig.sd15_config3(),
+        optim=OptimConfig(config_name="config3", total_steps=150_000, warmup=15_000),
+        steps=150_000,
+        batch_size=1,
+        val_every=30_000,
+        description="flagship: ctrlora-32 + SD-UNet LoRA",
+    )
+
+
+def config3_styling() -> ExperimentPreset:
+    """Styling-prompt suite clone (rank-12, r_q=4; ``multiseg_Stylingprompts_*.py``)."""
+    base = config3_addlrSD()
+    return dataclasses.replace(
+        base,
+        name="config3_styling",
+        pipeline=dataclasses.replace(
+            base.pipeline, ctrl_lora=LoRASpec.ctrlora(12), unet_lora=LoRASpec.qkv(4, 12)
+        ),
+        description="config-3 clone on the styling prompt suite",
+    )
+
+
+def config3_visibility() -> ExperimentPreset:
+    """Visibility-prompt suite clone (uniform lrs 1e-5; ``multiseg_Visibilityprompts_*.py``)."""
+    base = config3_styling()
+    return dataclasses.replace(
+        base,
+        name="config3_visibility",
+        optim=dataclasses.replace(
+            base.optim,
+            lr_overrides={"ctrl_lora": 1e-5, "ctrl_ft": 1e-5, "unet_lora": 1e-5, "adapter": 1e-5},
+        ),
+        description="config-3 clone on the visibility prompt suite",
+    )
+
+
+def config3_maskloss() -> ExperimentPreset:
+    """Masked-color-loss variant (``multiseg_colorprompts_addlrSD_maskloss.py``): total =
+    mse + 5·(color+stable) after step 10k; resumes from step 30000 in the reference."""
+    base = config3_addlrSD()
+    return dataclasses.replace(
+        base, name="config3_maskloss", use_maskloss=True, maskloss_warmup=10_000,
+        description="config 3 + masked color loss",
+    )
+
+
+def adapter_only_overfit() -> ExperimentPreset:
+    """experiment_overfit adapter(+kv LoRA) regime (``Training_sdfusion_bert_adapter_sample*``)."""
+    return ExperimentPreset(
+        name="adapter_only_overfit",
+        pipeline=PipelineConfig(
+            unet_lora=LoRASpec.kv(8), ctrl_lora=None, adapter=AdapterConfig.config1()
+        ),
+        optim=OptimConfig(config_name="adapter_only", total_steps=10_000, warmup=500),
+        steps=10_000,
+        batch_size=8,
+        val_every=500,
+        repeat_dataset=100,
+        description="one-seg overfit: adapter + K/V LoRA",
+    )
+
+
+def lpips_expanded() -> ExperimentPreset:
+    """LPIPS perceptual-loss schedule expansion (``expand_steps_and_trainingdata.py:515-523``)."""
+    base = adapter_only_overfit()
+    return dataclasses.replace(
+        base, name="lpips_expanded", use_lpips=True, steps=40_000,
+        optim=dataclasses.replace(base.optim, total_steps=40_000),
+        description="0.3·mse + 0.7·LPIPS on decoded x0",
+    )
+
+
+def tiny_smoke() -> ExperimentPreset:
+    """CI-size end-to-end preset."""
+    return ExperimentPreset(
+        name="tiny_smoke",
+        pipeline=PipelineConfig.tiny(),
+        optim=OptimConfig(config_name="config3", total_steps=100, warmup=5),
+        steps=20,
+        batch_size=2,
+        val_every=10,
+        ddim_steps=4,
+        description="tiny smoke preset for tests",
+    )
+
+
+PRESETS = {
+    p().name: p
+    for p in (
+        config1_onlyCNLora,
+        config2_ctrlora,
+        config3_addlrSD,
+        config3_styling,
+        config3_visibility,
+        config3_maskloss,
+        adapter_only_overfit,
+        lpips_expanded,
+        tiny_smoke,
+    )
+}
+
+
+def get_preset(name: str) -> ExperimentPreset:
+    return PRESETS[name]()

@@ -1,0 +1,145 @@
+"""Orbax checkpointing: collection-wise save/restore with auto-resume.
+
+The reference saves **filtered** torch state dicts every VAL_EVERY (adapter full; ControlNet
+subset by key substring; UNet subset by ``.A.``/``.B.``; ``addlrSD.py:533-543,551-561``) and
+"resumes" by hand-editing ``global_step`` (``maskloss.py:371-373,531``). Here:
+
+* the whole TrainState (param collections + optimizer state + step) checkpoints atomically
+  via Orbax,
+* ``save_filtered`` writes the reference-style per-collection trainable subsets (adapter /
+  ctrl-ft / unet-lora) for interchange and A/B tooling,
+* ``restore_latest`` auto-resumes from the newest step — the failure-recovery mechanism the
+  reference lacks (SURVEY.md §5).
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+Params = dict[str, Any]
+
+
+def _mgr(directory: str | Path, max_to_keep: int = 3):
+    import orbax.checkpoint as ocp
+
+    return ocp.CheckpointManager(
+        Path(directory).absolute(),
+        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
+    )
+
+
+def save_train_state(directory: str | Path, state, step: int, max_to_keep: int = 3) -> None:
+    import orbax.checkpoint as ocp
+
+    mgr = _mgr(directory, max_to_keep)
+    mgr.save(step, args=ocp.args.StandardSave({"params": state.params, "opt_state": state.opt_state}))
+    mgr.wait_until_finished()
+
+
+def restore_latest(directory: str | Path, state):
+    """Restore the newest checkpoint into the given (template) TrainState; returns
+    (state, step) — (state, 0) untouched when no checkpoint exists."""
+    import orbax.checkpoint as ocp
+    import dataclasses
+    import jax.numpy as jnp
+
+    mgr = _mgr(directory)
+    step = mgr.latest_step()
+    if step is None:
+        return state, 0
+    restored = mgr.restore(
+        step,
+        args=ocp.args.StandardRestore({"params": state.params, "opt_state": state.opt_state}),
+    )
+    state = dataclasses.replace(
+        state,
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+        step=jnp.asarray(step, jnp.int32),
+    )
+    return state, step
+
+
+# ---------------------------------------------------------------------------
+# Reference-style filtered checkpoints (.npz interchange)
+# ---------------------------------------------------------------------------
+
+
+def _flatten(tree: Params, prefix: str = "") -> dict[str, np.ndarray]:
+    out = {}
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f"{path}/{k}")
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                walk(v, f"{path}/{i}")
+        else:
+            out[path.lstrip("/")] = np.asarray(node)
+
+    walk(tree, prefix)
+    return out
+
+
+def _unflatten_into(tree: Params, flat: dict[str, np.ndarray]) -> Params:
+    import copy
+    import jax.numpy as jnp
+
+    out = copy.deepcopy(tree)
+    for key, val in flat.items():
+        node = out
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node[int(p)] if isinstance(node, (list, tuple)) else node[p]
+        last = parts[-1]
+        if isinstance(node, (list, tuple)):
+            node[int(last)] = jnp.asarray(val)
+        else:
+            node[last] = jnp.asarray(val)
+    return out
+
+
+FILTERED_COLLECTIONS = ("adapter", "ctrl_lora", "unet_lora")
+
+
+def save_filtered(directory: str | Path, params: Params, step: int, labeler=None) -> list[Path]:
+    """Write per-collection .npz subsets mirroring the reference's filtered torch.save set:
+    textenc-adapter / ctrlora-ft (LoRA + zero_convs/middle_block_out/norm when a labeler is
+    given) / unet-lora (``addlrSD.py:533-543``)."""
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    written = []
+    for coll in FILTERED_COLLECTIONS:
+        if coll not in params or params[coll] is None:
+            continue
+        flat = _flatten(params[coll])
+        path = directory / f"{coll}_step{step}.npz"
+        np.savez(path, **flat)
+        written.append(path)
+    if labeler is not None and "controlnet" in params:
+        from topomap_tpu.train.optim import _path_str
+
+        flatp = jax.tree_util.tree_flatten_with_path(params["controlnet"])[0]
+        subset = {
+            _path_str(p): np.asarray(v)
+            for p, v in flatp
+            if labeler("controlnet/" + _path_str(p)) is not None
+        }
+        if subset:
+            path = directory / f"controlnet_ft_step{step}.npz"
+            np.savez(path, **subset)
+            written.append(path)
+    return written
+
+
+def load_filtered(params: Params, path: str | Path, collection: str) -> Params:
+    """Overlay a filtered .npz onto one collection (the reference's overlay-load,
+    ``quantitative_metrics.py:44-55``)."""
+    flat = dict(np.load(path))
+    out = dict(params)
+    out[collection] = _unflatten_into(params[collection], flat)
+    return out
