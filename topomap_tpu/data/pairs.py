@@ -141,9 +141,10 @@ class PairsDataset:
     gt [H,W,3] f32 in [−1,1] (BILINEAR), seg_path, gt_path}``.
     """
 
-    def __init__(self, records: Sequence[PairsRecord], size: int = 512):
+    def __init__(self, records: Sequence[PairsRecord], size: int = 512, use_native: bool = True):
         self.records = list(records)
         self.size = size
+        self.use_native = use_native
 
     def __len__(self) -> int:
         return len(self.records)
@@ -156,25 +157,36 @@ class PairsDataset:
         gt = _resize_np(gt, self.size, nearest=False).astype(np.float32) / 127.5 - 1.0
         return {"prompt": r.prompt, "seg": seg, "gt": gt, "seg_path": r.source, "gt_path": r.target}
 
+    def _load_batch(self, idxs) -> dict:
+        recs = [self.records[int(j)] for j in idxs]
+        if self.use_native:
+            from topomap_tpu.data.native_loader import load_batch_native
+
+            seg = load_batch_native([r.source for r in recs], self.size, "seg")
+            gt = load_batch_native([r.target for r in recs], self.size, "gt")
+            if seg is not None and gt is not None:
+                return {"prompt": [r.prompt for r in recs], "seg": seg, "gt": gt}
+        items = [self[int(j)] for j in idxs]
+        return {
+            "prompt": [it["prompt"] for it in items],
+            "seg": np.stack([it["seg"] for it in items]),
+            "gt": np.stack([it["gt"] for it in items]),
+        }
+
     def iter_batches(
         self, batch_size: int, shuffle: bool = True, seed: int = 42, drop_remainder: bool = True
     ) -> Iterator[dict]:
-        """Epoch-cycling batch iterator: ``{prompt: list[str], seg: [B,H,W,3], gt: [B,H,W,3]}``."""
-        rng = np.random.default_rng(seed)
+        """Epoch-cycling batch iterator: ``{prompt: list[str], seg: [B,H,W,3], gt: [B,H,W,3]}``.
+
+        Uses the native C++ batch loader (``topomap_tpu.data.native_loader``) when available,
+        PIL otherwise."""
         epoch = 0
         while True:
             order = np.arange(len(self))
             if shuffle:
-                rng = np.random.default_rng(seed + epoch)
-                rng.shuffle(order)
+                np.random.default_rng(seed + epoch).shuffle(order)
             for i in range(0, len(order) - (batch_size - 1 if drop_remainder else 0), batch_size):
-                idxs = order[i : i + batch_size]
-                items = [self[int(j)] for j in idxs]
-                yield {
-                    "prompt": [it["prompt"] for it in items],
-                    "seg": np.stack([it["seg"] for it in items]),
-                    "gt": np.stack([it["gt"] for it in items]),
-                }
+                yield self._load_batch(order[i : i + batch_size])
             epoch += 1
 
 
