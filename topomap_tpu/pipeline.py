@@ -49,6 +49,11 @@ class PipelineConfig:
     ctrl_lora: Optional[LoRASpec] = LoRASpec.ctrlora(32)
     num_train_timesteps: int = 1000
     compute_dtype: Any = jnp.bfloat16
+    # Text-conditioning pathway (SURVEY.md §2.3): "adapter" = frozen BERT + LastStateAdapter
+    # (all main configs); "pooler" = CLS pooler-MLP added to every token; "bert_last_layer" =
+    # raw BERT hidden states with the last layer FFN trainable; "embfussion" = gated
+    # CLIP⊕BERT residual fusion (requires clip).
+    text_mode: str = "adapter"
 
     @staticmethod
     def sd15_config3() -> "PipelineConfig":
@@ -89,6 +94,14 @@ def init_pipeline(key, cfg: PipelineConfig) -> Params:
     }
     if cfg.clip is not None:
         params["clip"] = text_encoder_init(keys[5], cfg.clip)
+    if cfg.text_mode == "pooler":
+        from topomap_tpu.models.adapters import pooler_mlp_init
+
+        params["pooler"] = pooler_mlp_init(jax.random.fold_in(key, 100), cfg.bert.hidden)
+    if cfg.text_mode == "embfussion":
+        from topomap_tpu.text.fusion import embfussion_init
+
+        params["fusion"] = embfussion_init(cfg.bert.hidden)
     if cfg.unet_lora is not None:
         params["unet_lora"] = build_lora_tree(params["unet"], cfg.unet_lora, keys[6])
     if cfg.ctrl_lora is not None:
@@ -136,11 +149,25 @@ def make_tokenizers(cfg: PipelineConfig, vocab_file=None, clip_vocab=None, clip_
 def encode_text(
     params: Params, cfg: PipelineConfig, ids: jnp.ndarray, attn_mask: jnp.ndarray
 ) -> jnp.ndarray:
-    """The BERT-adapter conditioning path (``addlrSD.py:186-198``): frozen BERT
-    last_hidden_state (stop_gradient) → trainable LastStateAdapter → [B,77,768]."""
+    """Text conditioning per ``cfg.text_mode``.
+
+    * "adapter" (default, ``addlrSD.py:186-198``): frozen BERT last_hidden_state
+      (stop_gradient) → trainable LastStateAdapter → [B,77,768].
+    * "pooler" (``Training_sdfusion_bert_pooler.py:136-189``): frozen BERT → CLS pooler-MLP
+      added onto every token.
+    * "bert_last_layer" (``Training_sdfusion_bert.py:118-133``): raw BERT hidden states with
+      gradients flowing (the optimizer mask freezes everything but the last layer's FFN).
+    * "embfussion": BERT side of the gated fusion — raw hidden states; the fusion itself
+      happens in ``topomap_tpu.text.fusion.fuse_embfussion`` with ``params["fusion"]``.
+    """
     hidden = text_encoder_apply(params["bert"], cfg.bert, ids, attn_mask)
-    hidden = jax.lax.stop_gradient(hidden)
-    return adapter_apply(params["adapter"], cfg.adapter, hidden)
+    if cfg.text_mode == "adapter":
+        return adapter_apply(params["adapter"], cfg.adapter, jax.lax.stop_gradient(hidden))
+    if cfg.text_mode == "pooler":
+        from topomap_tpu.models.adapters import pooler_mlp_apply
+
+        return pooler_mlp_apply(params["pooler"], jax.lax.stop_gradient(hidden))
+    return hidden  # bert_last_layer / embfussion: trainability handled by optimizer mask
 
 
 def encode_clip(params: Params, cfg: PipelineConfig, ids: jnp.ndarray) -> jnp.ndarray:

@@ -111,20 +111,120 @@ def adapter_only_labeler(path: str) -> str | None:
     return None
 
 
+def bert_last_layer_labeler(path: str) -> str | None:
+    """TextEncoder FT variant: unfreeze the LAST BERT layer's FFN (intermediate.dense +
+    output.dense + output.LayerNorm ⇒ our mlp.fc1/fc2 + ln2) instead of the adapter
+    (``Training_sdfusion_bert.py:118-133``); + optional unet kv-LoRA collection."""
+    if path.startswith("bert/layers/"):
+        # mark only the deepest layer; resolved against the actual depth in label_params
+        # via the _LAST_LAYER sentinel replacement below.
+        return "_bert_layer_candidate"
+    if path.startswith("unet_lora/"):
+        return "unet_lora"
+    return None
+
+
+def pooler_labeler(path: str) -> str | None:
+    """Pooler-MLP conditioning: only the pooler collection trains
+    (``Training_sdfusion_bert_pooler.py:136-189``)."""
+    if path.startswith("pooler/"):
+        return "pooler"
+    if path.startswith("unet_lora/"):
+        return "unet_lora"
+    return None
+
+
+def clip_ft_labeler(path: str) -> str | None:
+    """CLIP fine-tune: last-2 CLIP layers + final LN (``Training_sdfusion_clip.py:64-65,
+    118-135``, TRAIN_LAST_N_LAYERS=2)."""
+    if path.startswith("clip/layers/"):
+        return "_clip_layer_candidate"
+    if path.startswith("clip/final_ln/"):
+        return "clip_ft"
+    return None
+
+
+def q_only_labeler(path: str) -> str | None:
+    """Staged training stage 2 of ``expand_to_Q.py:289,309``: freeze K/V LoRA and adapter,
+    train only Q-LoRA leaves."""
+    if path.startswith("unet_lora/") and "/to_q/" in path:
+        return "unet_lora"
+    return None
+
+
+def aft_froze_adapter_labeler(path: str) -> str | None:
+    """``aft_froze_adapter.py:323,332``: adapter frozen, last-BERT-layer output unfrozen,
+    LoRA keeps training."""
+    if path.startswith("bert/layers/"):
+        return "_bert_layer_candidate"
+    if path.startswith("unet_lora/"):
+        return "unet_lora"
+    return None
+
+
+def embfussion_labeler(path: str) -> str | None:
+    """Gated CLIP⊕BERT fusion: fusion gate/adapter + UNet LoRA
+    (``Training_sd_bert_embfussion.py:296-307``)."""
+    if path.startswith("fusion/"):
+        return "fusion"
+    if path.startswith("unet_lora/"):
+        return "unet_lora"
+    return None
+
+
 LABELERS = {
     "config1": config1_labeler,
     "config2": config2_labeler,
     "config3": config3_labeler,
     "adapter_only": adapter_only_labeler,
+    "bert_last_layer": bert_last_layer_labeler,
+    "pooler": pooler_labeler,
+    "clip_ft": clip_ft_labeler,
+    "q_only": q_only_labeler,
+    "aft_froze_adapter": aft_froze_adapter_labeler,
+    "embfussion": embfussion_labeler,
 }
 
-# Per-group base LRs per config (SURVEY.md §2.5 hyper table).
+# Per-group base LRs per config (SURVEY.md §2.5-2.6 hyper tables).
 GROUP_LRS = {
     "config1": {"ctrl_lora": 3e-5, "adapter": 5e-5},
-    "config2": {"ctrl_lora": 7e-5, "ctrl_ft": 7e-5, "adapter": 1e-5},
+    "config2": {"ctrl_lora": 7e-5, "ctrl_ft": 1e-4, "adapter": 1e-5},
     "config3": {"ctrl_lora": 2e-5, "ctrl_ft": 2e-5, "unet_lora": 5e-5, "adapter": 5e-5},
     "adapter_only": {"adapter": 5e-5, "unet_lora": 1e-4},
+    "bert_last_layer": {"bert_ft": 3e-5, "unet_lora": 2e-4},
+    "pooler": {"pooler": 5e-5, "unet_lora": 1e-4},
+    "clip_ft": {"clip_ft": 1e-5},
+    "q_only": {"unet_lora": 1e-4},
+    "aft_froze_adapter": {"bert_ft": 3e-5, "unet_lora": 1e-4},
+    "embfussion": {"fusion": 1e-4, "unet_lora": 2e-4},
 }
+
+
+def _resolve_layer_candidates(labels, params: Params, prefix: str, n_last: int, group: str):
+    """Turn '_*_layer_candidate' sentinels into real labels for only the last ``n_last``
+    transformer layers of collection ``prefix`` (depth read from the actual tree)."""
+    coll = params.get(prefix)
+    if coll is None or "layers" not in coll:
+        return labels
+    n_layers = len(coll["layers"])
+    keep = {str(i) for i in range(n_layers - n_last, n_layers)}
+
+    flat_l = jax.tree_util.tree_flatten_with_path(labels)[0]
+    flat_p = jax.tree_util.tree_flatten_with_path(params)[0]
+    new = []
+    for (path, label), _ in zip(flat_l, flat_p):
+        ps = _path_str(path)
+        if label == f"_{prefix}_layer_candidate" or (
+            label == "_bert_layer_candidate" and prefix == "bert"
+        ) or (label == "_clip_layer_candidate" and prefix == "clip"):
+            parts = ps.split("/")
+            layer_idx = parts[2] if len(parts) > 2 else ""
+            # BERT last-layer variant trains only the FFN (mlp + ln2) of the kept layers.
+            is_ffn = "/mlp/" in ps or "/ln2/" in ps
+            new.append(group if (layer_idx in keep and (prefix == "clip" or is_ffn)) else "frozen")
+        else:
+            new.append(label)
+    return jax.tree_util.tree_unflatten(jax.tree_util.tree_structure(labels), new)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -139,25 +239,31 @@ class OptimConfig:
 
 
 def label_params(params: Params, labeler: PathPredicate) -> Params:
-    """Label tree for optax.multi_transform; frozen params get label 'frozen'."""
+    """Label tree for optax.multi_transform; frozen params get label 'frozen'.
+    Layer-index-dependent regimes ('last N transformer layers') are resolved here against
+    the actual tree depth."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    return jax.tree_util.tree_unflatten(
+    labels = jax.tree_util.tree_unflatten(
         jax.tree_util.tree_structure(params),
         [labeler(_path_str(p)) or "frozen" for p, _ in flat],
     )
+    labels = _resolve_layer_candidates(labels, params, "bert", 1, "bert_ft")
+    labels = _resolve_layer_candidates(labels, params, "clip", 2, "clip_ft")
+    return labels
 
 
 def trainable_mask(params: Params, labeler: PathPredicate) -> Params:
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    return jax.tree_util.tree_unflatten(
-        jax.tree_util.tree_structure(params),
-        [labeler(_path_str(p)) is not None for p, _ in flat],
-    )
+    labels = label_params(params, labeler)
+    return jax.tree.map(lambda l: l != "frozen", labels)
 
 
 def count_trainable(params: Params, labeler: PathPredicate) -> int:
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    return sum(x.size for p, x in flat if labeler(_path_str(p)) is not None)
+    labels = label_params(params, labeler)
+    return sum(
+        x.size
+        for x, l in zip(jax.tree.leaves(params), jax.tree.leaves(labels))
+        if l != "frozen"
+    )
 
 
 def build_optimizer(params: Params, cfg: OptimConfig) -> tuple[optax.GradientTransformation, Params]:

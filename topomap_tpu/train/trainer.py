@@ -57,13 +57,20 @@ def make_train_step(
     use_maskloss: bool = False,
     maskloss_warmup: int = 10_000,
     attn_fn=None,
+    use_lpips: bool = False,
+    lpips_params=None,
+    lpips_weights: tuple[float, float] = (0.3, 0.7),
 ) -> Callable:
     """Build the jitted train step.
 
     Batch schema (device arrays): ``{"seg": [B,H,W,3] f32 [0,1], "gt": [B,H,W,3] f32 [−1,1],
     "ids": [B,77] i32, "mask": [B,77] i32, ["class_rgb": [B,3] f32]}``.
+
+    ``use_lpips`` switches the loss to ``0.3·mse + 0.7·LPIPS(decode(x0), gt)`` — the
+    perceptual-loss regime of ``expand_steps_and_trainingdata.py:515-523``.
     """
     from topomap_tpu.models.attention import xla_attention
+    from topomap_tpu.train.losses import lpips_distance, perceptual_mix_loss
 
     attn_fn = attn_fn or xla_attention
     labeler = LABELERS[labeler_name]
@@ -87,6 +94,14 @@ def make_train_step(
             eps_hat = apply_model(params, cfg, z_noisy, t, cond, attn_fn=attn_fn)
             mse = eps_mse(eps_hat, noise)
             aux = {"train_mse": mse}
+            if use_lpips:
+                x0 = predict_start_from_noise(sched, z_noisy, t, eps_hat)
+                img_pred = (decode_latent(params, cfg, x0) + 1.0) * 0.5
+                gt01 = (batch["gt"] + 1.0) * 0.5
+                lp = lpips_distance(lpips_params, img_pred, gt01)
+                total = perceptual_mix_loss(mse, lp, *lpips_weights)
+                aux["lpips"] = lp
+                return total, aux
             if use_maskloss:
                 x0 = predict_start_from_noise(sched, z_noisy, t, eps_hat)
                 img_pred = (decode_latent(params, cfg, x0) + 1.0) * 0.5
