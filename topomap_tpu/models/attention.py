@@ -87,10 +87,14 @@ def cross_attention_init(
     }
 
 
-def _proj_nobias(p: Params, x: jnp.ndarray, lora: Optional[Params]) -> jnp.ndarray:
+def _proj_nobias(
+    p: Params, x: jnp.ndarray, lora: Optional[Params], lora_input: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
     y = jnp.dot(x, p["w"].astype(x.dtype))
     if lora is not None:
-        xm = _lora_input(x, lora)
+        # post_add (diffusers LoRACrossAttnProcessor mode, models.py:72-152): the LoRA reads
+        # the projection OUTPUT instead of the input.
+        xm = y if "post_add" in lora else _lora_input(lora_input if lora_input is not None else x, lora)
         y = y + lora["scale"].astype(x.dtype) * jnp.dot(
             jnp.dot(xm, lora["A"].astype(x.dtype)), lora["B"].astype(x.dtype)
         )
@@ -105,10 +109,30 @@ def cross_attention(
     lora: Optional[Params] = None,
     attn_fn: AttnFn = xla_attention,
 ) -> jnp.ndarray:
-    """x: [B, Tq, D]; context: [B, Tk, Dc] or None (self-attention)."""
+    """x: [B, Tq, D]; context: [B, Tk, Dc] or None (self-attention).
+
+    ControlLoRA composition (``topomap_tpu.lora.control_lora``): when the LoRA tree carries
+    a ``control`` sub-dict with an injected ``state``, the control delta enters per the
+    reference flavor — added to the Q-LoRA input (diffusers ``models.py:238-239``), to the
+    hidden states pre-QKV + pre-out (V2 ``models.py:292-431``), or to the attention output
+    (LDM-native ``attention_lora.py:74-81``, ``add_to_output`` marker).
+    """
     ctx = x if context is None else context
     lora = lora or {}
-    q = _proj_nobias(p["to_q"], x, lora.get("to_q"))
+    ctrl = lora.get("control")
+    delta = None
+    tc: Params = {}
+    if ctrl is not None and "state" in ctrl:
+        from topomap_tpu.lora.control_lora import control_delta
+
+        delta = control_delta(ctrl, x)
+        tc = ctrl.get("to_control", {})
+        if "v2" in tc:
+            x = x + delta  # V2: inject into hidden states before every projection
+    q_lora_in = None
+    if delta is not None and "v2" not in tc and "add_to_output" not in tc:
+        q_lora_in = x + delta  # diffusers main mode: Q-LoRA reads hidden + control
+    q = _proj_nobias(p["to_q"], x, lora.get("to_q"), lora_input=q_lora_in)
     k = _proj_nobias(p["to_k"], ctx, lora.get("to_k"))
     v = _proj_nobias(p["to_v"], ctx, lora.get("to_v"))
     b, tq, inner = q.shape
@@ -116,7 +140,16 @@ def cross_attention(
     split = lambda t: t.reshape(b, -1, heads, dh).transpose(0, 2, 1, 3)
     out = attn_fn(split(q), split(k), split(v))
     out = out.transpose(0, 2, 1, 3).reshape(b, tq, inner)
-    return lora_dense(p["to_out"], out, lora.get("to_out"))
+    out = lora_dense(p["to_out"], out, lora.get("to_out"))
+    if delta is not None and "add_to_output" in tc:
+        out = out + delta  # LDM-native v1
+    if ctrl is not None and "state" in ctrl and "to_control_out" in ctrl:
+        from topomap_tpu.lora.control_lora import control_delta
+
+        out = out + control_delta(
+            {"to_control": ctrl["to_control_out"], "state": ctrl["state"]}, x
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------
