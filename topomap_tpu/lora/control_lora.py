@@ -29,7 +29,7 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
-from topomap_tpu.models.nn import KeyGen, Params, conv, conv_init, silu
+from topomap_tpu.models.nn import KeyGen, Params, conv, conv_init, rand_normal, silu
 from topomap_tpu.models.unet import UNetConfig, _level_channels
 from topomap_tpu.lora.lora import LoRASpec, _kaiming_a5, build_lora_tree
 
@@ -62,7 +62,7 @@ def control_encoder_init(key, cfg: ControlLoRAEncoderConfig, unet_cfg: UNetConfi
         stage = {
             "conv": conv_init(kg(), c, ch, 3),
             "pre_lora": {
-                "w": jax.random.normal(kg(), (ch, widths[min(si, len(widths) - 1)])) * 0.02
+                "w": rand_normal(kg(), (ch, widths[min(si, len(widths) - 1)]), 0.02)
             },
         }
         c = ch

@@ -29,6 +29,8 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
+from topomap_tpu.models.nn import rand_uniform
+
 Params = dict[str, Any]
 
 _ATTN_KEYS = {"to_q", "to_k", "to_v", "to_out"}
@@ -86,7 +88,7 @@ class LoRASpec:
 def _kaiming_a5(key, d_in: int, r: int) -> jnp.ndarray:
     """torch kaiming_uniform_(a=√5) on a [r, d_in] weight ⇒ U(±1/√d_in); stored as [d_in, r]."""
     bound = 1.0 / math.sqrt(d_in)
-    return jax.random.uniform(key, (d_in, r), jnp.float32, -bound, bound)
+    return rand_uniform(key, (d_in, r), -bound, bound)
 
 
 def _leaf(key, d_in: int, d_out: int, r: int, spec: LoRASpec) -> Params:
@@ -103,8 +105,8 @@ def _leaf(key, d_in: int, d_out: int, r: int, spec: LoRASpec) -> Params:
         bound1 = 1.0 / math.sqrt(fuse_in)
         bound2 = 1.0 / math.sqrt(hidden)
         leaf["fuse"] = {
-            "fc1": jax.random.uniform(k2, (fuse_in, hidden), jnp.float32, -bound1, bound1),
-            "fc2": jax.random.uniform(k3, (hidden, d_in), jnp.float32, -bound2, bound2),
+            "fc1": rand_uniform(k2, (fuse_in, hidden), -bound1, bound1),
+            "fc2": rand_uniform(k3, (hidden, d_in), -bound2, bound2),
         }
     return leaf
 

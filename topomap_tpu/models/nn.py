@@ -15,20 +15,52 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Params = dict[str, Any]
 
 
 # ---------------------------------------------------------------------------
 # Initializers
+#
+# Initial weight VALUES are host-generated with numpy Philox keyed from the jax PRNG key:
+# deterministic, and ~20× faster than eager threefry for the ~1.2B-parameter SD1.5 bundle
+# (threefry on CPU took minutes; Philox takes seconds). Under jit tracing (where key data
+# is abstract) the same helpers fall back to jax.random.
 # ---------------------------------------------------------------------------
+
+
+def np_rng(key) -> np.random.Generator:
+    if isinstance(key, np.ndarray):  # fast host key from KeyGen
+        kd = key.astype(np.uint64)
+    else:
+        kd = np.asarray(jax.random.key_data(key)).ravel().astype(np.uint64)
+    return np.random.Generator(np.random.Philox(key=kd[:2]))
+
+
+def _is_concrete(key) -> bool:
+    return isinstance(key, np.ndarray) or not isinstance(key, jax.core.Tracer)
+
+
+def rand_normal(key, shape, std: float = 1.0, dtype=jnp.float32):
+    if _is_concrete(key):
+        return jnp.asarray(np_rng(key).standard_normal(shape, dtype=np.float32) * std, dtype)
+    return jax.random.normal(key, shape, dtype) * std
+
+
+def rand_uniform(key, shape, lo: float, hi: float, dtype=jnp.float32):
+    if _is_concrete(key):
+        return jnp.asarray(
+            np_rng(key).random(shape, dtype=np.float32) * (hi - lo) + lo, dtype
+        )
+    return jax.random.uniform(key, shape, dtype, lo, hi)
 
 
 def _fan_in_scale(key, shape, fan_in, scale=1.0, dtype=jnp.float32):
     """LDM's default init is kaiming-uniform-ish; variance-scaled normal works identically
     for training-from-scratch and is checkpoint-overwritten for pretrained use."""
     std = scale / math.sqrt(max(fan_in, 1))
-    return jax.random.normal(key, shape, dtype) * std
+    return rand_normal(key, shape, std, dtype)
 
 
 def dense_init(key, d_in: int, d_out: int, scale: float = 1.0, zero: bool = False) -> Params:
@@ -127,11 +159,30 @@ def timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0) ->
 
 
 class KeyGen:
-    """Sequential PRNG key dispenser for init functions."""
+    """Sequential PRNG key dispenser for init functions.
+
+    For concrete keys the sequence is derived HOST-SIDE (base key data + counter feeding
+    numpy Philox) — ~2000 ``jax.random.split`` dispatches otherwise dominate large-model
+    init time. Under tracing it falls back to real splits.
+    """
 
     def __init__(self, key):
-        self._key = key
+        if isinstance(key, np.ndarray) or not isinstance(key, jax.core.Tracer):
+            kd = (
+                key.astype(np.uint64)
+                if isinstance(key, np.ndarray)
+                else np.asarray(jax.random.key_data(key)).ravel().astype(np.uint64)
+            )
+            base = int(kd[0]) << 32 | int(kd[-1]) & 0xFFFFFFFF
+            self._base = np.uint64(base)
+            self._counter = 0
+            self._key = None
+        else:
+            self._key = key
 
     def __call__(self):
-        self._key, sub = jax.random.split(self._key)
-        return sub
+        if self._key is not None:
+            self._key, sub = jax.random.split(self._key)
+            return sub
+        self._counter += 1
+        return np.asarray([self._base, self._counter], np.uint64)

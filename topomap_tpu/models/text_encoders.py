@@ -22,7 +22,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from topomap_tpu.models.nn import KeyGen, Params, dense, dense_init, layer_norm, norm_init
+from topomap_tpu.models.nn import KeyGen, Params, dense, dense_init, layer_norm, norm_init, rand_normal
 
 
 @dataclasses.dataclass(frozen=True)
@@ -83,13 +83,13 @@ def _layer_init(kg: KeyGen, cfg: TextEncoderConfig) -> Params:
 def text_encoder_init(key, cfg: TextEncoderConfig) -> Params:
     kg = KeyGen(key)
     p: Params = {
-        "tok_emb": jax.random.normal(kg(), (cfg.vocab_size, cfg.hidden)) * 0.02,
-        "pos_emb": jax.random.normal(kg(), (cfg.max_len, cfg.hidden)) * 0.02,
+        "tok_emb": rand_normal(kg(), (cfg.vocab_size, cfg.hidden), 0.02),
+        "pos_emb": rand_normal(kg(), (cfg.max_len, cfg.hidden), 0.02),
         "layers": [_layer_init(kg, cfg) for _ in range(cfg.layers)],
         "final_ln": norm_init(cfg.hidden),
     }
     if cfg.token_type:
-        p["type_emb"] = jax.random.normal(kg(), (2, cfg.hidden)) * 0.02
+        p["type_emb"] = rand_normal(kg(), (2, cfg.hidden), 0.02)
         p["emb_ln"] = norm_init(cfg.hidden)
     return p
 

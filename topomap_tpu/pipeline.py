@@ -120,18 +120,23 @@ def simulate_pretrained(params: Params, key, scale: float = 0.02) -> Params:
     starting point; production loads real converted checkpoints instead
     (``topomap_tpu.utils.torch_ckpt``).
     """
+    import numpy as np
+
+    from topomap_tpu.models.nn import np_rng
+
     out = dict(params)
-    for coll in ("unet", "vae", "controlnet", "bert", "clip", "adapter"):
+    for ci, coll in enumerate(("unet", "vae", "controlnet", "bert", "clip", "adapter")):
         if coll not in out:
             continue
         leaves, treedef = jax.tree.flatten(out[coll])
-        keys = jax.random.split(jax.random.fold_in(key, hash(coll) % (2**31)), len(leaves))
-        new = [
-            jax.random.normal(k, l.shape, l.dtype) * scale
-            if float(jnp.abs(l).sum()) == 0.0
-            else l
-            for k, l in zip(keys, leaves)
-        ]
+        rng = np_rng(jax.random.fold_in(key, ci))
+        new = []
+        for l in leaves:
+            arr = np.asarray(l)
+            head = arr.ravel()[:256]
+            if not head.any() and not arr.any():  # zero-init leaf
+                l = jnp.asarray(rng.standard_normal(arr.shape, dtype=np.float32) * scale, l.dtype)
+            new.append(l)
         out[coll] = jax.tree.unflatten(treedef, new)
     return out
 

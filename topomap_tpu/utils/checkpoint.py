@@ -89,17 +89,26 @@ def _unflatten_into(tree: Params, flat: dict[str, np.ndarray]) -> Params:
     import copy
     import jax.numpy as jnp
 
+    def _descend(node, p):
+        if isinstance(node, (list, tuple)):
+            return node[int(p)]
+        if p in node:
+            return node[p]
+        return node[int(p)]  # LoRA trees key blocks by int
+
     out = copy.deepcopy(tree)
     for key, val in flat.items():
         node = out
         parts = key.split("/")
         for p in parts[:-1]:
-            node = node[int(p)] if isinstance(node, (list, tuple)) else node[p]
+            node = _descend(node, p)
         last = parts[-1]
         if isinstance(node, (list, tuple)):
             node[int(last)] = jnp.asarray(val)
-        else:
+        elif last in node:
             node[last] = jnp.asarray(val)
+        else:
+            node[int(last)] = jnp.asarray(val)
     return out
 
 
