@@ -145,3 +145,18 @@ def test_conditional_lora_runs_and_depends_on_condition():
     # batch-broadcast repair: cond with batch 1 against x batch 2
     ec = unet_apply(params, CFG, x, t, ctx, lora=attach_condition(lora, cond_b[:1]))
     np.testing.assert_allclose(np.asarray(eb), np.asarray(ec), atol=1e-5)
+
+
+def test_merge_for_sampling_pipeline():
+    from topomap_tpu.pipeline import PipelineConfig, init_pipeline, merge_for_sampling
+
+    cfg = PipelineConfig.tiny()
+    params = init_pipeline(jax.random.PRNGKey(0), cfg)
+    merged = merge_for_sampling(params)
+    assert "unet_lora" not in merged and "ctrl_lora" not in merged
+    # B=0 at init -> merged weights identical to base
+    np.testing.assert_allclose(
+        np.asarray(merged["unet"]["out_conv"]["w"]),
+        np.asarray(params["unet"]["out_conv"]["w"]),
+        atol=1e-7,
+    )

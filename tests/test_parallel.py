@@ -1,0 +1,96 @@
+"""Mesh/sharding tests on the 8-virtual-device CPU backend."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from topomap_tpu.core import make_schedule
+from topomap_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    pad_to_multiple,
+    replicate,
+    shard_batch,
+)
+from topomap_tpu.parallel.sheet import stylize_sheet_sharded
+from topomap_tpu.pipeline import (
+    PipelineConfig,
+    encode_text,
+    init_pipeline,
+    make_tokenizers,
+    simulate_pretrained,
+)
+
+CFG = PipelineConfig.tiny()
+SCHED = make_schedule(1000)
+
+
+def test_mesh_and_shard_batch():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    batch = {"x": np.zeros((16, 4), np.float32)}
+    sharded = shard_batch(mesh, batch)
+    assert sharded["x"].sharding.spec == jax.sharding.PartitionSpec("data")
+    rep = replicate(mesh, {"w": np.ones(3, np.float32)})
+    assert rep["w"].sharding.spec == jax.sharding.PartitionSpec()
+
+
+def test_pad_to_multiple():
+    batch = {"x": np.arange(10, dtype=np.float32).reshape(10, 1)}
+    padded, n = pad_to_multiple(batch, 8)
+    assert n == 10 and padded["x"].shape == (16, 1)
+    np.testing.assert_array_equal(padded["x"][10:], padded["x"][9:10].repeat(6, 0))
+
+
+def test_sharded_training_step_matches_single_device():
+    """The pjit data-parallel step must produce the same loss as unsharded execution."""
+    from topomap_tpu.train.optim import OptimConfig, build_optimizer
+    from topomap_tpu.train.trainer import init_train_state, make_train_step
+
+    params = simulate_pretrained(init_pipeline(jax.random.PRNGKey(0), CFG), jax.random.PRNGKey(1))
+    tx, _ = build_optimizer(params, OptimConfig("config3", total_steps=100, warmup=5))
+    step_fn = make_train_step(CFG, SCHED, tx, "config3")
+    state = init_train_state(params, tx)
+
+    tok, _ = make_tokenizers(CFG)
+    ids, mask = tok.encode(["Set Forest color to dark green"] * 8)
+    batch = {
+        "seg": np.random.default_rng(0).random((8, 32, 32, 3)).astype(np.float32),
+        "gt": (np.random.default_rng(1).random((8, 32, 32, 3)).astype(np.float32) * 2 - 1),
+        "ids": ids,
+        "mask": mask,
+    }
+    rng = jax.random.PRNGKey(7)
+
+    # single-device
+    s1, m1 = jax.jit(step_fn)(state, jax.tree.map(jnp.asarray, batch), rng)
+
+    # sharded
+    mesh = make_mesh()
+    state_sh = replicate(mesh, state)
+    batch_sh = shard_batch(mesh, batch)
+    s2, m2 = jax.jit(step_fn)(state_sh, batch_sh, rng)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+    # updated trainable params agree
+    a = jax.tree.leaves(s1.params["adapter"])
+    b = jax.tree.leaves(s2.params["adapter"])
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+
+
+def test_stylize_sheet_sharded_cpu_mesh():
+    params = simulate_pretrained(init_pipeline(jax.random.PRNGKey(0), CFG), jax.random.PRNGKey(1))
+    mesh = make_mesh()
+    from topomap_tpu.data.synthetic import generate_seg_tile
+
+    # 2x3 grid of 32px tiles = 6 tiles (pads to 8 on the mesh)
+    sheet = np.concatenate(
+        [np.concatenate([generate_seg_tile(i * 3 + j)[:32, :32] for j in range(3)], axis=1)
+         for i in range(2)],
+        axis=0,
+    )
+    tok, _ = make_tokenizers(CFG)
+    ids, mask = tok.encode(["Set Lake color to turquoise"])
+    ctx = encode_text(params, CFG, jnp.asarray(ids), jnp.asarray(mask))
+    out = stylize_sheet_sharded(params, CFG, SCHED, mesh, sheet, ctx, tile=32, steps=2)
+    assert out.shape == (64, 96, 3) and out.dtype == np.uint8

@@ -168,8 +168,10 @@ def _maybe_restore(args, preset, cfg, params):
         state = init_train_state(params, tx)
         state, step = restore_latest(Path(args.ckpt) / "ckpt", state)
         print(f"restored step {step}")
-        return state.params
-    return params
+        params = state.params
+    from topomap_tpu.pipeline import merge_for_sampling
+
+    return merge_for_sampling(params)
 
 
 def cmd_evaluate(args):

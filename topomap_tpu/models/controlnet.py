@@ -101,6 +101,7 @@ def controlnet_apply(
     control_scales: Optional[jnp.ndarray] = None,
     compute_dtype=jnp.float32,
     hint_downscale: int = 8,
+    remat: bool = False,
 ) -> list[jnp.ndarray]:
     """Return the 13 control residuals for ``unet_apply(control=...)``.
 
@@ -115,7 +116,8 @@ def controlnet_apply(
 
     guided = hint_block_apply(p["input_hint_block"], hint, hint_downscale)
     hs = unet_encoder_apply(
-        p["encoder"], cfg, x, emb, context, lora.get("encoder"), attn_fn, extra_first=guided
+        p["encoder"], cfg, x, emb, context, lora.get("encoder"), attn_fn,
+        extra_first=guided, remat=remat,
     )
     h = unet_middle_apply(p["middle"], cfg, hs[-1], emb, context, lora.get("middle"), attn_fn)
 

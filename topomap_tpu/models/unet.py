@@ -16,6 +16,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 
 from topomap_tpu.models.attention import AttnFn, spatial_transformer, spatial_transformer_init, xla_attention, _idx
@@ -135,11 +136,28 @@ def unet_encoder_apply(
     lora: Optional[Params] = None,
     attn_fn: AttnFn = xla_attention,
     extra_first: Optional[jnp.ndarray] = None,
+    remat: bool = False,
 ) -> list[jnp.ndarray]:
     """Run input_blocks, returning the list of skip activations (one per block).
 
-    ``extra_first`` is the ControlNet hint-block output added after conv_in."""
+    ``extra_first`` is the ControlNet hint-block output added after conv_in.
+    ``remat=True`` checkpoints each res+attn block (activations recomputed in backward) —
+    the TPU answer to the reference's memory ceiling that forced batch 1 (it disabled LDM
+    gradient checkpointing outright, ``addlrSD.py:8-22``; we re-enable it selectively)."""
     lora_blocks = (lora or {}).get("blocks", {})
+
+    def res_attn(bp, bl, h, emb, context):
+        h = resblock(bp["res"], h, emb)
+        if "attn" in bp:
+            h = spatial_transformer(
+                bp["attn"], h, context, cfg.num_heads,
+                None if bl is None else bl.get("attn"), attn_fn,
+            )
+        return h
+
+    if remat:
+        res_attn = jax.checkpoint(res_attn)
+
     hs = []
     h = x
     for i, bp in enumerate(p["blocks"]):
@@ -150,13 +168,7 @@ def unet_encoder_apply(
         elif "down" in bp:
             h = conv(bp["down"], h, stride=2)
         else:
-            h = resblock(bp["res"], h, emb)
-            if "attn" in bp:
-                bl = _idx(lora_blocks, i)
-                h = spatial_transformer(
-                    bp["attn"], h, context, cfg.num_heads,
-                    None if bl is None else bl.get("attn"), attn_fn,
-                )
+            h = res_attn(bp, _idx(lora_blocks, i), h, emb, context)
         hs.append(h)
     return hs
 
@@ -238,6 +250,7 @@ def unet_apply(
     lora: Optional[Params] = None,
     attn_fn: AttnFn = xla_attention,
     compute_dtype=jnp.float32,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Predict epsilon. x [B,h,w,4] latent, t [B] int32, context [B,T,ctx].
 
@@ -253,23 +266,31 @@ def unet_apply(
     emb = dense(p["time_embed"]["fc2"], silu(dense(p["time_embed"]["fc1"], temb)))
     emb = emb.astype(compute_dtype)
 
-    hs = unet_encoder_apply(p["encoder"], cfg, x, emb, context, lora.get("encoder"), attn_fn)
+    hs = unet_encoder_apply(
+        p["encoder"], cfg, x, emb, context, lora.get("encoder"), attn_fn, remat=remat
+    )
     h = unet_middle_apply(p["middle"], cfg, hs[-1], emb, context, lora.get("middle"), attn_fn)
 
     if control is not None:
         h = h + control[-1].astype(h.dtype)
         hs = [s + c.astype(s.dtype) for s, c in zip(hs, control[:-1])]
 
-    dec_lora = (lora.get("decoder") or {}).get("blocks", {})
-    for i, bp in enumerate(p["decoder"]["blocks"]):
-        h = jnp.concatenate([h, hs.pop()], axis=-1)
+    def dec_block(bp, bl, h, skip, emb, context):
+        h = jnp.concatenate([h, skip], axis=-1)
         h = resblock(bp["res"], h, emb)
         if "attn" in bp:
-            bl = _idx(dec_lora, i)
             h = spatial_transformer(
                 bp["attn"], h, context, cfg.num_heads,
                 None if bl is None else bl.get("attn"), attn_fn,
             )
+        return h
+
+    if remat:
+        dec_block = jax.checkpoint(dec_block)
+
+    dec_lora = (lora.get("decoder") or {}).get("blocks", {})
+    for i, bp in enumerate(p["decoder"]["blocks"]):
+        h = dec_block(bp, _idx(dec_lora, i), h, hs.pop(), emb, context)
         if "up" in bp:
             h = conv(bp["up"], _upsample(h))
     h = silu(group_norm(p["out_norm"], h))

@@ -119,11 +119,20 @@ def pallas_attention_interpret(q, k, v):
 
 
 def best_attention_fn():
-    """Pick the Pallas kernel on TPU, the XLA einsum path elsewhere."""
+    """Attention backend selection.
+
+    Current measurement on v5e (full SD1.5 UNet+ControlNet step, batch 8, bf16): the XLA
+    einsum path beats this kernel (172 ms vs 358 ms per step) because SD's head_dim 40/80
+    pads to the 128-lane MXU width inside the kernel (3.2× redundant MXU work) while XLA
+    picks a tighter contraction layout. The kernel therefore stays opt-in
+    (``TOPOMAP_ATTN=pallas``) until the low-head-dim layout is fixed; measurements live in
+    git history / BENCH notes.
+    """
+    import os
+
     from topomap_tpu.models.attention import xla_attention
 
-    try:
-        platform = jax.devices()[0].platform
-    except Exception:
-        return xla_attention
-    return pallas_attention if platform in ("tpu", "axon") else xla_attention
+    choice = os.environ.get("TOPOMAP_ATTN", "xla")
+    if choice == "pallas":
+        return pallas_attention
+    return xla_attention

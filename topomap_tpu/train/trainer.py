@@ -60,6 +60,7 @@ def make_train_step(
     use_lpips: bool = False,
     lpips_params=None,
     lpips_weights: tuple[float, float] = (0.3, 0.7),
+    remat: bool = False,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -91,7 +92,7 @@ def make_train_step(
             z_noisy = q_sample(sched, z, t, noise)
             c = encode_text(params, cfg, batch["ids"], batch["mask"])
             cond = {"crossattn": c, "concat": batch["seg"]}
-            eps_hat = apply_model(params, cfg, z_noisy, t, cond, attn_fn=attn_fn)
+            eps_hat = apply_model(params, cfg, z_noisy, t, cond, attn_fn=attn_fn, remat=remat)
             mse = eps_mse(eps_hat, noise)
             aux = {"train_mse": mse}
             if use_lpips:
