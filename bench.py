@@ -45,7 +45,7 @@ def main():
     ctx_dim = cfg.unet.context_dim
     sched = make_schedule(cfg.num_train_timesteps)
     ddim = DDIMConfig(num_steps=steps, guidance_scale=7.5, eta=0.0)
-    which_attn = os.environ.get("BENCH_ATTN", "xla")
+    which_attn = os.environ.get("BENCH_ATTN", "pallas")
     if which_attn == "pallas":
         from topomap_tpu.ops.flash_attention import pallas_attention as attn_fn
     elif which_attn == "xla":

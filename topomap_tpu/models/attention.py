@@ -132,9 +132,23 @@ def cross_attention(
     q_lora_in = None
     if delta is not None and "v2" not in tc and "add_to_output" not in tc:
         q_lora_in = x + delta  # diffusers main mode: Q-LoRA reads hidden + control
-    q = _proj_nobias(p["to_q"], x, lora.get("to_q"), lora_input=q_lora_in)
-    k = _proj_nobias(p["to_k"], ctx, lora.get("to_k"))
-    v = _proj_nobias(p["to_v"], ctx, lora.get("to_v"))
+    no_qkv_lora = not any(lora.get(n) for n in ("to_q", "to_k", "to_v"))
+    if context is None and no_qkv_lora:
+        # Fused self-attention QKV: one [C,3C] matmul instead of three (inference path —
+        # LoRA deltas are merged into the weights before sampling). The concat is
+        # loop-invariant, so XLA hoists it out of the DDIM scan.
+        wqkv = jnp.concatenate(
+            [p["to_q"]["w"], p["to_k"]["w"], p["to_v"]["w"]], axis=1
+        ).astype(x.dtype)
+        q, k, v = jnp.split(jnp.dot(x, wqkv), 3, axis=-1)
+    elif no_qkv_lora:
+        q = jnp.dot(x, p["to_q"]["w"].astype(x.dtype))
+        wkv = jnp.concatenate([p["to_k"]["w"], p["to_v"]["w"]], axis=1).astype(ctx.dtype)
+        k, v = jnp.split(jnp.dot(ctx, wkv), 2, axis=-1)
+    else:
+        q = _proj_nobias(p["to_q"], x, lora.get("to_q"), lora_input=q_lora_in)
+        k = _proj_nobias(p["to_k"], ctx, lora.get("to_k"))
+        v = _proj_nobias(p["to_v"], ctx, lora.get("to_v"))
     b, tq, inner = q.shape
     dh = inner // heads
     split = lambda t: t.reshape(b, -1, heads, dh).transpose(0, 2, 1, 3)

@@ -121,18 +121,23 @@ def pallas_attention_interpret(q, k, v):
 def best_attention_fn():
     """Attention backend selection.
 
-    Current measurement on v5e (full SD1.5 UNet+ControlNet step, batch 8, bf16): the XLA
-    einsum path beats this kernel (172 ms vs 358 ms per step) because SD's head_dim 40/80
-    pads to the 128-lane MXU width inside the kernel (3.2× redundant MXU work) while XLA
-    picks a tighter contraction layout. The kernel therefore stays opt-in
-    (``TOPOMAP_ATTN=pallas``) until the low-head-dim layout is fixed; measurements live in
-    git history / BENCH notes.
+    Measured on v5e inside the full 50-step jitted DDIM scan (SD1.5+ControlNet, batch 4,
+    CFG, bf16): this kernel 6.14 s vs XLA einsum attention 7.94 s — the kernel wins ~23%
+    end-to-end despite the head_dim 40→128 lane padding. (Eager per-call comparisons
+    through the remote-TPU tunnel invert this ordering — dispatch overhead dominates; only
+    in-scan numbers count.) Default = pallas on TPU; override with ``TOPOMAP_ATTN=xla``.
     """
     import os
 
     from topomap_tpu.models.attention import xla_attention
 
-    choice = os.environ.get("TOPOMAP_ATTN", "xla")
+    choice = os.environ.get("TOPOMAP_ATTN", "")
+    if choice == "xla":
+        return xla_attention
     if choice == "pallas":
         return pallas_attention
-    return xla_attention
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return xla_attention
+    return pallas_attention if platform in ("tpu", "axon") else xla_attention
