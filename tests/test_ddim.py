@@ -59,3 +59,21 @@ def test_ddim_eta_nonzero_still_finite_and_seeded():
     b = ddim_sample(f, sched, DDIMConfig(6, 1.0, eta=1.0), k, (1, 4, 4, 4), None, None)
     assert np.all(np.isfinite(np.asarray(a)))
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ddpm_ancestral_sampler_statistics():
+    """With eps==0 the DDPM chain applies x *= 1/sqrt(alpha_t) each step plus noise; run a
+    short 50-step schedule and check finiteness + determinism + CFG equivalence."""
+    from topomap_tpu.core.ddpm import ddpm_sample
+
+    sched = make_schedule(50)
+    f = lambda x, t, c: jnp.zeros_like(x)
+    k = jax.random.PRNGKey(0)
+    a = ddpm_sample(f, sched, k, (1, 4, 4, 2), None)
+    b = ddpm_sample(f, sched, k, (1, 4, 4, 2), None)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.all(np.isfinite(np.asarray(a)))
+
+    # guidance_scale=1 with uncond given == no-cfg path
+    c = ddpm_sample(f, sched, k, (1, 4, 4, 2), cond=jnp.ones((1, 3)), uncond=jnp.zeros((1, 3)), guidance_scale=1.0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
