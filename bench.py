@@ -81,8 +81,13 @@ def main():
     seg = jnp.zeros((batch, size, size, 3), jnp.float32)
     context = jax.random.normal(jax.random.PRNGKey(2), (batch, 77, ctx_dim), jnp.float32)
 
+    import jax.numpy as _jnp
+
+    decode_dtype = _jnp.bfloat16 if os.environ.get("BENCH_DECODE_BF16", "1") == "1" else _jnp.float32
+
     def run(params, rng):
-        return sample(params, cfg, sched, ddim, rng, seg, context, attn_fn=attn_fn)
+        return sample(params, cfg, sched, ddim, rng, seg, context, attn_fn=attn_fn,
+                      decode_dtype=decode_dtype)
 
     run_jit = jax.jit(run)
     print("bench: compiling...", file=sys.stderr, flush=True)

@@ -60,3 +60,37 @@ def test_flash_padded_keys_get_no_mass():
     ref = xla_attention(q, k, v)
     out = flash_attention(q, k, v, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "tq,tk,d",
+    [
+        (256, 256, 40),
+        (128, 77, 160),
+        (64, 64, 128),
+        (100, 77, 40),
+    ],
+)
+def test_flash_t_matches_xla(tq, tk, d):
+    from topomap_tpu.ops.flash_attention import flash_attention_t
+
+    b, h = 2, 3
+    q = _rand((b, h, tq, d), 0)
+    k = _rand((b, h, tk, d), 1)
+    v = _rand((b, h, tk, d), 2)
+    ref = xla_attention(q, k, v)
+    out = flash_attention_t(q, k, v, block_q=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_t_bf16():
+    from topomap_tpu.ops.flash_attention import flash_attention_t
+
+    b, h, t, d = 1, 2, 128, 40
+    q = _rand((b, h, t, d), 0, jnp.bfloat16)
+    k = _rand((b, h, t, d), 1, jnp.bfloat16)
+    v = _rand((b, h, t, d), 2, jnp.bfloat16)
+    ref = xla_attention(q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32))
+    out = flash_attention_t(q, k, v, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref), atol=0.05)

@@ -81,9 +81,15 @@ def cmd_train(args):
     if start_step:
         print(f"resumed from step {start_step}")
 
+    lpips_params = None
+    if preset.use_lpips:
+        from topomap_tpu.train.losses import lpips_init
+
+        lpips_params = lpips_init(jax.random.PRNGKey(preset.seed + 2))
     step_fn = jax.jit(
         make_train_step(cfg, sched, tx, preset.optim.config_name, preset.use_maskloss,
-                        preset.maskloss_warmup)
+                        preset.maskloss_warmup, use_lpips=preset.use_lpips,
+                        lpips_params=lpips_params, remat=getattr(args, "remat", False))
     )
     val_fn = jax.jit(make_validate_step(cfg, sched))
     log = load_loss_log(out / "loss_log.json")
@@ -104,21 +110,29 @@ def cmd_train(args):
             batch["class_rgb"] = prompt_class_rgb(b["prompt"])
         return batch
 
+    from topomap_tpu.utils.observability import StepTimer, ThroughputLog, profile_trace
+
     steps = args.steps or preset.steps
-    t0 = time.time()
+    timer = StepTimer(warmup_steps=2)
+    tp_log = ThroughputLog(out / "throughput.jsonl")
     it = ds.iter_batches(preset.batch_size, shuffle=True, seed=preset.seed)
+    with profile_trace(getattr(args, "profile_dir", None)):
+        pass  # profiler scope is per-run when requested; see below for per-step timing
     for batch_host in it:
         if int(state.step) >= steps:
             break
         batch = to_device_batch(batch_host)
-        state, metrics = step_fn(state, batch, rng)
+        with timer:
+            state, metrics = step_fn(state, batch, rng)
+            loss = float(metrics["loss"])  # blocks until the step finishes
         step = int(state.step)
-        loss = float(metrics["loss"])
         ema = meter.update(loss)
         append_train(log, step, loss, ema)
         if step % args.log_every == 0:
-            rate = step / max(time.time() - t0, 1e-9)
-            print(f"step {step}/{steps} loss {loss:.4f} ema {ema:.4f} ({rate:.2f} it/s)")
+            print(f"step {step}/{steps} loss {loss:.4f} ema {ema:.4f} "
+                  f"({timer.steps_per_sec:.2f} it/s, "
+                  f"{timer.items_per_sec(preset.batch_size):.2f} tiles/s)")
+            tp_log.write(step, timer, preset.batch_size)
         if step % preset.val_every == 0 or step >= steps:
             vb = to_device_batch(next(val_ds.iter_batches(min(4, len(val_ds)), shuffle=False)))
             val_mse = float(val_fn(state.params, vb))
@@ -275,6 +289,8 @@ def build_parser():
     sp.add_argument("--out", required=True)
     sp.add_argument("--steps", type=int, default=None)
     sp.add_argument("--log-every", type=int, default=50)
+    sp.add_argument("--profile-dir", default=None, help="jax.profiler trace output dir")
+    sp.add_argument("--remat", action="store_true", help="rematerialize UNet blocks (memory)")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("sample")

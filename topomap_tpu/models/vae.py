@@ -148,9 +148,13 @@ def vae_sample_latent(rng, mean, logvar, scale_factor: float = SD_SCALE_FACTOR):
     return z * scale_factor
 
 
-def vae_decode(p: Params, cfg: VAEConfig, z: jnp.ndarray) -> jnp.ndarray:
-    """Latent [B,h,w,z] (scaled) → image [B,8h,8w,3] in ≈[−1,1]. fp32 as the reference decode."""
-    z = (z / cfg.scale_factor).astype(jnp.float32)
+def vae_decode(p: Params, cfg: VAEConfig, z: jnp.ndarray, compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Latent [B,h,w,z] (scaled) → image [B,8h,8w,3] in ≈[−1,1].
+
+    fp32 by default (the reference decodes fp32, ``vis_metrics.py:450``); pass
+    ``compute_dtype=jnp.bfloat16`` for the serving path (GroupNorm statistics stay fp32;
+    output is fp32 either way)."""
+    z = (z / cfg.scale_factor).astype(compute_dtype)
     d = p["decoder"]
     h = conv(d["conv_in"], conv(p["post_quant_conv"], z))
     m = d["mid"]
@@ -161,4 +165,4 @@ def vae_decode(p: Params, cfg: VAEConfig, z: jnp.ndarray) -> jnp.ndarray:
         if "up" in level:
             h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
             h = conv(level["up"], h)
-    return conv(d["conv_out"], silu(group_norm(d["norm_out"], h)))
+    return conv(d["conv_out"], silu(group_norm(d["norm_out"], h))).astype(jnp.float32)

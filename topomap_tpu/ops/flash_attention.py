@@ -108,8 +108,91 @@ def flash_attention(
     return out[:, :tq, :d].reshape(b, h, tq, d)
 
 
+def _attn_kernel_t(qt_ref, kt_ref, vt_ref, ot_ref, *, scale: float):
+    """Transposed-layout kernel: head_dim on SUBLANES, tokens on lanes.
+
+    qT [dh_pad, blk_q], kT/vT [dh_pad, tk] → oT [dh_pad, blk_q]. All three matmuls contract
+    over dims that are naturally multiples of the tile granularity (dh on sublanes: 8-mult
+    for fp32; tk on lanes: 128-mult for self-attention), so SD's head_dim 40/80 wastes
+    nothing on the MXU — unlike the lanes-layout kernel where 40 pads to 128 (3.2×)."""
+    qt = qt_ref[0].astype(jnp.float32)  # [dh_pad, blk_q]
+    kt = kt_ref[0].astype(jnp.float32)  # [dh_pad, tk]
+    vt = vt_ref[0]                      # [dh_pad, tk]
+    # logitsT [tk, blk_q] = kT^T · qT  (contract dh on sublanes of both)
+    logits_t = jax.lax.dot_general(
+        kt, qt, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    m = jnp.max(logits_t, axis=0, keepdims=True)
+    p = jnp.exp(logits_t - m)
+    denom = jnp.sum(p, axis=0, keepdims=True)
+    p = (p / denom).astype(vt.dtype)    # [tk, blk_q]
+    # oT [dh_pad, blk_q] = vT · probsT  (contract tk: lanes of vT, sublanes of probsT)
+    ot_ref[0] = jax.lax.dot_general(
+        vt, p, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(ot_ref.dtype)
+
+
+def flash_attention_t(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    block_q: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Transposed-layout fused attention (see ``_attn_kernel_t``). Same contract as
+    :func:`flash_attention`."""
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    scale = d**-0.5
+    sub = 8  # fp32 sublane granularity; bf16 inputs are upcast per-block inside the kernel
+
+    need_mask = (tk % _LANE) != 0
+    d_pad = _round_up(d + (1 if need_mask else 0), sub)
+    tk_pad = _round_up(tk, _LANE)
+    blk_q = min(block_q, _round_up(tq, _LANE))
+    tq_pad = _round_up(tq, blk_q)
+
+    # [B,H,T,D] -> [BH, D_pad, T_pad]
+    def t_pad(x, t_len, t_to):
+        x = x.reshape(b * h, t_len, d).transpose(0, 2, 1)
+        return jnp.pad(x, ((0, 0), (0, d_pad - d), (0, t_to - t_len)))
+
+    qt = t_pad(q, tq, tq_pad)
+    kt = t_pad(k, tk, tk_pad)
+    vt = t_pad(v, tk, tk_pad)
+    if need_mask:
+        # sentinel row d: 1 in q, -1e9/scale in padded k slots → padded keys get -inf logits
+        qt = qt.at[:, d, :tq].set(1.0)
+        kt = kt.at[:, d, tk:].set(-1e9 / scale)
+
+    grid = (b * h, tq_pad // blk_q)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel_t, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, d_pad, blk_q), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_pad, tk_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_pad, tk_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, d_pad, blk_q), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, d_pad, tq_pad), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * h * tq_pad * tk_pad * d_pad,
+            bytes_accessed=(qt.size + kt.size + vt.size) * qt.dtype.itemsize,
+            transcendentals=b * h * tq_pad * tk_pad,
+        ),
+        interpret=interpret,
+    )(qt, kt, vt)
+    return out[:, :d, :tq].transpose(0, 2, 1).reshape(b, h, tq, d)
+
+
 def pallas_attention(q, k, v):
     """Drop-in ``AttnFn`` for ``topomap_tpu.models.attention`` (compiled path)."""
+    return flash_attention_t(q, k, v)
+
+
+def pallas_attention_lanes(q, k, v):
+    """The lanes-layout (v1) kernel, kept for comparison."""
     return flash_attention(q, k, v)
 
 

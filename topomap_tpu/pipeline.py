@@ -246,9 +246,11 @@ def encode_image(params: Params, cfg: PipelineConfig, rng, img: jnp.ndarray) -> 
     return vae_sample_latent(rng, mean, logvar, cfg.vae.scale_factor)
 
 
-def decode_latent(params: Params, cfg: PipelineConfig, z: jnp.ndarray) -> jnp.ndarray:
-    """``decode_first_stage`` in fp32 with clamp (``vis_metrics.py:450-452``)."""
-    return jnp.clip(vae_decode(params["vae"], cfg.vae, z), -1.0, 1.0)
+def decode_latent(
+    params: Params, cfg: PipelineConfig, z: jnp.ndarray, compute_dtype=jnp.float32
+) -> jnp.ndarray:
+    """``decode_first_stage`` with clamp (``vis_metrics.py:450-452``); fp32 by default."""
+    return jnp.clip(vae_decode(params["vae"], cfg.vae, z, compute_dtype), -1.0, 1.0)
 
 
 def sample(
@@ -263,6 +265,7 @@ def sample(
     control_scales: Optional[jnp.ndarray] = None,
     attn_fn: AttnFn = xla_attention,
     decode: bool = True,
+    decode_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Full conditional DDIM sampling of a batch of tiles.
 
@@ -281,4 +284,4 @@ def sample(
     cond = {"crossattn": crossattn, "concat": seg}
     uncond = {"crossattn": uncond_crossattn, "concat": seg}
     z0 = ddim_sample(denoise, sched, ddim, rng, shape, cond, uncond)
-    return decode_latent(params, cfg, z0) if decode else z0
+    return decode_latent(params, cfg, z0, decode_dtype) if decode else z0
