@@ -95,3 +95,20 @@ def test_compare_runs_two_variants(tmp_path):
         np.asarray(perturbed["adapter"]["out"]["w"]),
         atol=1e-6,
     )
+
+
+def test_sample_compositional(tmp_path):
+    from topomap_tpu.eval.compositional import sample_compositional
+
+    params = _params()
+    tok, _ = make_tokenizers(CFG)
+    seg = jnp.zeros((1, 32, 32, 3))
+    outs = sample_compositional(
+        params, CFG, SCHED, tok, seg,
+        prompts=["Set Forest color to dark green, Set Lake color to turquoise"],
+        steps=2, out_png=tmp_path / "comp.png",
+    )
+    assert len(outs) == 1
+    img = next(iter(outs.values()))
+    assert img.shape == (1, 32, 32, 3) and img.dtype == np.uint8
+    assert (tmp_path / "comp.png").exists()
