@@ -94,3 +94,32 @@ def test_flash_t_bf16():
     out = flash_attention_t(q, k, v, interpret=True)
     assert out.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref), atol=0.05)
+
+
+def test_fused_group_norm_silu_matches_reference():
+    from topomap_tpu.models.nn import group_norm, silu, norm_init
+    from topomap_tpu.ops.fused_norm import group_norm_silu
+
+    for (b, h, w, c, groups) in [(2, 8, 8, 32, 32), (1, 16, 8, 320, 32), (2, 4, 4, 16, 32)]:
+        x = jax.random.normal(jax.random.PRNGKey(c), (b, h, w, c), jnp.float32) * 3 + 1
+        p = {
+            "scale": jax.random.normal(jax.random.PRNGKey(1), (c,)) * 0.1 + 1,
+            "bias": jax.random.normal(jax.random.PRNGKey(2), (c,)) * 0.1,
+        }
+        ref = silu(group_norm(p, x, 32))
+        out = group_norm_silu(p, x, 32, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, err_msg=str(c))
+
+
+def test_fused_group_norm_silu_bf16():
+    from topomap_tpu.models.nn import group_norm, silu
+    from topomap_tpu.ops.fused_norm import group_norm_silu
+
+    x = (jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 64)) * 2).astype(jnp.bfloat16)
+    p = {"scale": jnp.ones(64), "bias": jnp.zeros(64)}
+    ref = silu(group_norm(p, x, 32))
+    out = group_norm_silu(p, x, 32, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=0.03
+    )

@@ -32,6 +32,7 @@ from topomap_tpu.models.nn import (
     silu,
     timestep_embedding,
 )
+from topomap_tpu.ops.fused_norm import group_norm_silu
 
 
 @dataclasses.dataclass(frozen=True)
@@ -78,9 +79,9 @@ def resblock_init(kg: KeyGen, c_in: int, c_out: int, emb_dim: int) -> Params:
 
 
 def resblock(p: Params, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
-    h = conv(p["in_conv"], silu(group_norm(p["in_norm"], x)))
+    h = conv(p["in_conv"], group_norm_silu(p["in_norm"], x))
     h = h + dense(p["emb"], silu(emb))[:, None, None, :].astype(h.dtype)
-    h = conv(p["out_conv"], silu(group_norm(p["out_norm"], h)))
+    h = conv(p["out_conv"], group_norm_silu(p["out_norm"], h))
     skip = conv(p["skip"], x) if "skip" in p else x
     return skip + h
 
@@ -293,5 +294,5 @@ def unet_apply(
         h = dec_block(bp, _idx(dec_lora, i), h, hs.pop(), emb, context)
         if "up" in bp:
             h = conv(bp["up"], _upsample(h))
-    h = silu(group_norm(p["out_norm"], h))
+    h = group_norm_silu(p["out_norm"], h)
     return conv(p["out_conv"], h).astype(jnp.float32)

@@ -187,7 +187,16 @@ def flash_attention_t(
 
 
 def pallas_attention(q, k, v):
-    """Drop-in ``AttnFn`` for ``topomap_tpu.models.attention`` (compiled path)."""
+    """Drop-in ``AttnFn`` for ``topomap_tpu.models.attention`` (compiled path).
+
+    Hybrid policy: the Pallas kernel earns its keep on the large spatial attentions
+    (T_q ≥ 512 — the 4096/1024-token levels, 90%+ of attention FLOPs); below that the
+    per-call kernel overhead exceeds the fusion win and the XLA einsum path is faster
+    (trace-measured on v5e)."""
+    from topomap_tpu.models.attention import xla_attention
+
+    if q.shape[2] < 512:
+        return xla_attention(q, k, v)
     return flash_attention_t(q, k, v)
 
 
