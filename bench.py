@@ -35,6 +35,8 @@ def main():
         simulate_pretrained,
     )
 
+    if os.environ.get("BENCH_MODE") == "train":
+        return bench_train()
     tiny = os.environ.get("BENCH_TINY") == "1"
     batch = int(os.environ.get("BENCH_BATCH", "4"))
     steps = int(os.environ.get("BENCH_STEPS", "50"))
@@ -120,3 +122,64 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def bench_train():
+    """Training-throughput mode (BENCH_MODE=train): steps/sec of the jitted config-3 train
+    step at 512^2, bf16, remat. Not the driver metric — prints its own JSON line."""
+    import contextlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from topomap_tpu.core import make_schedule
+    from topomap_tpu.ops.flash_attention import best_attention_fn
+    from topomap_tpu.pipeline import PipelineConfig, init_pipeline, make_tokenizers, simulate_pretrained
+    from topomap_tpu.train.optim import OptimConfig, build_optimizer
+    from topomap_tpu.train.trainer import init_train_state, make_train_step
+
+    batch = int(os.environ.get("BENCH_BATCH", "2"))
+    size = int(os.environ.get("BENCH_SIZE", "512"))
+    cfg = PipelineConfig.sd15_config3()
+    sched = make_schedule(cfg.num_train_timesteps)
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+        ctx = jax.default_device(cpu)
+    except Exception:
+        ctx = contextlib.nullcontext()
+    print("bench-train: init...", file=sys.stderr, flush=True)
+    with ctx:
+        params = simulate_pretrained(init_pipeline(jax.random.PRNGKey(0), cfg), jax.random.PRNGKey(1))
+    params = jax.device_put(params, jax.devices()[0])
+    tx, _ = build_optimizer(params, OptimConfig("config3", total_steps=150_000, warmup=15_000))
+    state = init_train_state(params, tx)
+    step_fn = jax.jit(
+        make_train_step(cfg, sched, tx, "config3", attn_fn=best_attention_fn(), remat=True),
+        donate_argnums=0,
+    )
+    tok, _ = make_tokenizers(cfg)
+    ids, mask = tok.encode(["Set Forest color to dark green"] * batch)
+    batch_d = {
+        "seg": jnp.zeros((batch, size, size, 3)),
+        "gt": jnp.zeros((batch, size, size, 3)),
+        "ids": jnp.asarray(ids),
+        "mask": jnp.asarray(mask),
+    }
+    rng = jax.random.PRNGKey(7)
+    print("bench-train: compiling...", file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    state, m = step_fn(state, batch_d, rng)
+    jax.block_until_ready(m["loss"])
+    print(f"bench-train: compile+first {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
+    n = 10
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, m = step_fn(state, batch_d, rng)
+    jax.block_until_ready(m["loss"])
+    dt = (time.perf_counter() - t0) / n
+    print(json.dumps({
+        "metric": f"config3 train steps/sec/chip at batch {batch}, {size}^2, bf16, remat",
+        "value": round(1.0 / dt, 4),
+        "unit": "steps/sec/chip",
+        "vs_baseline": None,
+    }))

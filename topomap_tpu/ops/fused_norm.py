@@ -26,19 +26,29 @@ from jax.experimental.pallas import tpu as pltpu
 
 _LANE = 128
 _MAX_HW = 4096
-_MAX_VMEM_F32 = 6 * 1024 * 1024  # block bytes budget
+_MAX_VMEM_F32 = 10 * 1024 * 1024  # VMEM bytes budget for in+out blocks + temps
 
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _kernel(x_ref, m_ref, mt_ref, sb_ref, o_ref, *, n_per_group: float, eps: float):
-    x = x_ref[0].astype(jnp.float32)  # [HW, Cp]
+def _kernel(x_ref, m_ref, mt_ref, sb_ref, o_ref, *, n_per_group: float, eps: float, chunk: int):
+    """Row-chunked so fp32 temporaries stay ~chunk×Cp (the bf16 in/out blocks dominate
+    VMEM); statistics accumulate across chunks before the normalize pass."""
+    hw = x_ref.shape[1]
+    cp = x_ref.shape[2]
     m = m_ref[...]                    # [Cp, G]  (0/1, zero rows for padded channels)
     mt = mt_ref[...]                  # [G, Cp]
-    s1 = jnp.sum(x, axis=0, keepdims=True)        # [1, Cp]
-    s2 = jnp.sum(x * x, axis=0, keepdims=True)
+    n_chunks = hw // chunk
+
+    s1 = jnp.zeros((1, cp), jnp.float32)
+    s2 = jnp.zeros((1, cp), jnp.float32)
+    for ci in range(n_chunks):
+        xc = x_ref[0, ci * chunk : (ci + 1) * chunk, :].astype(jnp.float32)
+        s1 = s1 + jnp.sum(xc, axis=0, keepdims=True)
+        s2 = s2 + jnp.sum(xc * xc, axis=0, keepdims=True)
+
     g1 = jnp.dot(s1, m, preferred_element_type=jnp.float32)  # [1, G]
     g2 = jnp.dot(s2, m, preferred_element_type=jnp.float32)
     mean = g1 / n_per_group
@@ -48,8 +58,10 @@ def _kernel(x_ref, m_ref, mt_ref, sb_ref, o_ref, *, n_per_group: float, eps: flo
     inv_c = jnp.dot(inv, mt, preferred_element_type=jnp.float32)
     scale = sb_ref[0:1]  # [1, Cp]
     bias = sb_ref[1:2]
-    y = (x - mean_c) * inv_c * scale + bias
-    o_ref[0] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
+    for ci in range(n_chunks):
+        xc = x_ref[0, ci * chunk : (ci + 1) * chunk, :].astype(jnp.float32)
+        y = (xc - mean_c) * inv_c * scale + bias
+        o_ref[0, ci * chunk : (ci + 1) * chunk, :] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("groups", "eps", "interpret"))
@@ -71,8 +83,9 @@ def _gn_silu_pallas(x, scale, bias, groups: int, eps: float, interpret: bool = F
     ])
 
     xp = jnp.pad(x.reshape(b, hw, c), ((0, 0), (0, 0), (0, cp - c)))
+    chunk = hw if hw <= 512 else 512
     out = pl.pallas_call(
-        functools.partial(_kernel, n_per_group=float(hw * cg), eps=eps),
+        functools.partial(_kernel, n_per_group=float(hw * cg), eps=eps, chunk=chunk),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, hw, cp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -97,7 +110,12 @@ def gn_silu_eligible(x, groups: int) -> bool:
     while c % g:
         g -= 1
     hw = h * w
-    return hw <= _MAX_HW and hw % 8 == 0 and c >= 8 and hw * _round_up(c, _LANE) * 4 <= _MAX_VMEM_F32
+    if hw > 512 and hw % 512:
+        return False
+    # VMEM: in + out blocks at the actual dtype + fp32 chunk temporaries
+    itemsize = x.dtype.itemsize if hasattr(x, "dtype") else 4
+    block_bytes = hw * _round_up(c, _LANE) * itemsize * 2 + 512 * _round_up(c, _LANE) * 4 * 3
+    return hw <= _MAX_HW and hw % 8 == 0 and c >= 8 and block_bytes <= _MAX_VMEM_F32
 
 
 def group_norm_silu(p, x, groups: int = 32, eps: float = 1e-5, interpret: bool = False):
