@@ -120,8 +120,6 @@ def main():
     )
 
 
-if __name__ == "__main__":
-    main()
 
 
 def bench_train():
@@ -183,3 +181,7 @@ def bench_train():
         "unit": "steps/sec/chip",
         "vs_baseline": None,
     }))
+
+
+if __name__ == "__main__":
+    main()

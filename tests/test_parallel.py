@@ -94,3 +94,36 @@ def test_stylize_sheet_sharded_cpu_mesh():
     ctx = encode_text(params, CFG, jnp.asarray(ids), jnp.asarray(mask))
     out = stylize_sheet_sharded(params, CFG, SCHED, mesh, sheet, ctx, tile=32, steps=2)
     assert out.shape == (64, 96, 3) and out.dtype == np.uint8
+
+
+def test_two_level_mesh_training_step():
+    """(dcn, data) 2x4 mesh: batch sharded over BOTH axes; loss matches 1-device run."""
+    from topomap_tpu.parallel.mesh import batch_sharding_2d, make_mesh_2d
+    from topomap_tpu.train.optim import OptimConfig, build_optimizer
+    from topomap_tpu.train.trainer import init_train_state, make_train_step
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    params = simulate_pretrained(init_pipeline(jax.random.PRNGKey(0), CFG), jax.random.PRNGKey(1))
+    tx, _ = build_optimizer(params, OptimConfig("config3", total_steps=100, warmup=5))
+    step_fn = make_train_step(CFG, SCHED, tx, "config3")
+    state = init_train_state(params, tx)
+
+    tok, _ = make_tokenizers(CFG)
+    ids, mask = tok.encode(["Set Forest color to dark green"] * 8)
+    batch = {
+        "seg": np.random.default_rng(0).random((8, 32, 32, 3)).astype(np.float32),
+        "gt": (np.random.default_rng(1).random((8, 32, 32, 3)).astype(np.float32) * 2 - 1),
+        "ids": ids,
+        "mask": mask,
+    }
+    rng = jax.random.PRNGKey(7)
+    s1, m1 = jax.jit(step_fn)(state, jax.tree.map(jnp.asarray, batch), rng)
+
+    mesh = make_mesh_2d(2, 4)
+    assert mesh.devices.shape == (2, 4)
+    sh = batch_sharding_2d(mesh)
+    rep = NamedSharding(mesh, P())
+    state_sh = jax.tree.map(lambda x: jax.device_put(x, rep), state)
+    batch_sh = jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    s2, m2 = jax.jit(step_fn)(state_sh, batch_sh, rng)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)

@@ -30,6 +30,9 @@ class AdapterConfig:
     hidden: int = 768
     depth: int = 5            # number of (Linear→act→LN) blocks; config 3 uses 5, config 1 uses 3
     activation: str = "relu"  # "relu" | "gelu"
+    # Per-block activation override (e.g. the overfit-lab variants mix GELU then ReLU:
+    # ``textenc_utils.LastStateAdapter``/(-``_ctrlora``), ``textenc_utils.py:182-225``).
+    activations: tuple[str, ...] | None = None
 
     @staticmethod
     def config3(dim: int = 768) -> "AdapterConfig":
@@ -41,7 +44,13 @@ class AdapterConfig:
 
     @staticmethod
     def wide_gelu(dim: int = 768) -> "AdapterConfig":
-        return AdapterConfig(dim=dim, hidden=2 * dim, depth=2, activation="gelu")
+        """``textenc_utils.LastStateAdapter`` (``:182-204``): 768→1536 GELU, 1536 ReLU."""
+        return AdapterConfig(dim=dim, hidden=2 * dim, depth=2, activations=("gelu", "relu"))
+
+    @staticmethod
+    def ctrlora_adapter(dim: int = 768) -> "AdapterConfig":
+        """``textenc_utils.LastStateAdapter_ctrlora`` (``:206-225``): GELU then ReLU at 768."""
+        return AdapterConfig(dim=dim, hidden=dim, depth=2, activations=("gelu", "relu"))
 
 
 def adapter_init(key, cfg: AdapterConfig = AdapterConfig()) -> Params:
@@ -54,10 +63,14 @@ def adapter_init(key, cfg: AdapterConfig = AdapterConfig()) -> Params:
     return {"blocks": blocks, "out": dense_init(kg(), d, cfg.dim), "final_ln": norm_init(cfg.dim)}
 
 
+def _act_fn(name: str):
+    return jax.nn.relu if name == "relu" else (lambda v: jax.nn.gelu(v, approximate=False))
+
+
 def adapter_apply(p: Params, cfg: AdapterConfig, x: jnp.ndarray) -> jnp.ndarray:
-    act = jax.nn.relu if cfg.activation == "relu" else (lambda v: jax.nn.gelu(v, approximate=False))
-    for b in p["blocks"]:
-        x = layer_norm(b["ln"], act(dense(b["fc"], x)))
+    for i, b in enumerate(p["blocks"]):
+        name = cfg.activations[i] if cfg.activations else cfg.activation
+        x = layer_norm(b["ln"], _act_fn(name)(dense(b["fc"], x)))
     return layer_norm(p["final_ln"], dense(p["out"], x))
 
 

@@ -61,3 +61,21 @@ def pad_to_multiple(batch: Any, multiple: int) -> tuple[Any, int]:
         batch,
     )
     return padded, b
+
+
+def make_mesh_2d(
+    n_dcn: int, n_ici: int | None = None, axis_names: tuple[str, str] = ("dcn", "data")
+) -> Mesh:
+    """Multi-slice mesh: outer axis spans slices (DCN), inner axis the chips of a slice
+    (ICI). Data-parallel shardings use BOTH axes for the batch (``P(("dcn","data"))``) so
+    gradient all-reduces hierarchically: ICI within a slice, DCN across — GSPMD emits that
+    decomposition from the mesh structure."""
+    devices = jax.devices()
+    if n_ici is None:
+        n_ici = len(devices) // n_dcn
+    grid = np.asarray(devices[: n_dcn * n_ici]).reshape(n_dcn, n_ici)
+    return Mesh(grid, axis_names)
+
+
+def batch_sharding_2d(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(tuple(mesh.axis_names)))
