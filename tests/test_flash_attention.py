@@ -123,3 +123,29 @@ def test_fused_group_norm_silu_bf16():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=0.03
     )
+
+
+def test_pallas_attention_vjp_matches_xla():
+    from topomap_tpu.ops.flash_attention import _flash_t_bwd
+
+    b, h, t, d = 1, 2, 64, 32
+    q, k, v = _rand((b, h, t, d), 0), _rand((b, h, t, d), 1), _rand((b, h, t, d), 2)
+    g = _rand((b, h, t, d), 3)
+    # reference grads via jax autodiff of the XLA path
+    ref_grads = jax.vjp(xla_attention, q, k, v)[1](g)
+    got = _flash_t_bwd((q, k, v), g)
+    for a, r in zip(got, ref_grads):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=2e-4)
+
+
+def test_gn_silu_vjp_matches_reference():
+    from topomap_tpu.ops.fused_norm import _gn_silu_diff_bwd, _ref_gn_silu
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 32))
+    scale = jnp.ones(32) * 1.1
+    bias = jnp.zeros(32) + 0.1
+    g = jax.random.normal(jax.random.PRNGKey(1), x.shape)
+    ref = jax.vjp(lambda s, b, xx: _ref_gn_silu(s, b, xx, 32, 1e-5), scale, bias, x)[1](g)
+    got = _gn_silu_diff_bwd(32, 1e-5, (scale, bias, x), g)
+    for a, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=1e-5)

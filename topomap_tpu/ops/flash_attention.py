@@ -186,18 +186,49 @@ def flash_attention_t(
     return out[:, :d, :tq].transpose(0, 2, 1).reshape(b, h, tq, d)
 
 
+@jax.custom_vjp
+def _flash_t_diff(q, k, v):
+    return flash_attention_t(q, k, v)
+
+
+def _flash_t_fwd(q, k, v):
+    return flash_attention_t(q, k, v), (q, k, v)
+
+
+def _flash_t_bwd(res, g):
+    """Standard attention backward in XLA math (recompute probs; the fused forward saves
+    activation memory, the backward trades a recompute for it — same policy as flash
+    attention everywhere)."""
+    q, k, v = res
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(logits, axis=-1)
+    gf = g.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, gf)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", gf, vf)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32)) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32)) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_flash_t_diff.defvjp(_flash_t_fwd, _flash_t_bwd)
+
+
 def pallas_attention(q, k, v):
     """Drop-in ``AttnFn`` for ``topomap_tpu.models.attention`` (compiled path).
 
     Hybrid policy: the Pallas kernel earns its keep on the large spatial attentions
     (T_q ≥ 512 — the 4096/1024-token levels, 90%+ of attention FLOPs); below that the
     per-call kernel overhead exceeds the fusion win and the XLA einsum path is faster
-    (trace-measured on v5e)."""
+    (trace-measured on v5e). Differentiable: custom VJP recomputes the standard attention
+    backward in XLA."""
     from topomap_tpu.models.attention import xla_attention
 
     if q.shape[2] < 512:
         return xla_attention(q, k, v)
-    return flash_attention_t(q, k, v)
+    return _flash_t_diff(q, k, v)
 
 
 def pallas_attention_lanes(q, k, v):

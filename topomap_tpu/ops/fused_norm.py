@@ -118,22 +118,44 @@ def gn_silu_eligible(x, groups: int) -> bool:
     return hw <= _MAX_HW and hw % 8 == 0 and c >= 8 and block_bytes <= _MAX_VMEM_F32
 
 
+def _ref_gn_silu(scale, bias, x, groups: int, eps: float):
+    from topomap_tpu.models.nn import group_norm, silu
+
+    return silu(group_norm({"scale": scale, "bias": bias}, x, groups, eps))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _gn_silu_diff(scale, bias, x, groups: int, eps: float):
+    return _gn_silu_pallas(x, scale, bias, groups=groups, eps=eps)
+
+
+def _gn_silu_diff_fwd(scale, bias, x, groups, eps):
+    return _gn_silu_pallas(x, scale, bias, groups=groups, eps=eps), (scale, bias, x)
+
+
+def _gn_silu_diff_bwd(groups, eps, res, g):
+    # Backward via the jnp reference (recompute) — pallas_call has no autodiff rule.
+    scale, bias, x = res
+    _, vjp = jax.vjp(lambda s, b, xx: _ref_gn_silu(s, b, xx, groups, eps), scale, bias, x)
+    return vjp(g)
+
+
+_gn_silu_diff.defvjp(_gn_silu_diff_fwd, _gn_silu_diff_bwd)
+
+
 def group_norm_silu(p, x, groups: int = 32, eps: float = 1e-5, interpret: bool = False):
     """Fused ``silu(group_norm(x))`` — Pallas when eligible on TPU, jnp fallback otherwise.
 
     Same semantics as ``silu(models.nn.group_norm(p, x, groups))`` including the
-    reduce-groups-until-divisible rule for small test channel counts.
+    reduce-groups-until-divisible rule for small test channel counts. Differentiable
+    (custom VJP recomputes the jnp reference backward).
     """
-    from topomap_tpu.models.nn import group_norm, silu
-
     c = x.shape[-1]
     g = min(groups, c)
     while c % g:
         g -= 1
-    use_pallas = interpret or (
-        gn_silu_eligible(x, g)
-        and jax.devices()[0].platform in ("tpu", "axon")
-    )
-    if use_pallas:
-        return _gn_silu_pallas(x, p["scale"], p["bias"], groups=g, eps=eps, interpret=interpret)
-    return silu(group_norm(p, x, groups, eps))
+    if interpret:
+        return _gn_silu_pallas(x, p["scale"], p["bias"], groups=g, eps=eps, interpret=True)
+    if gn_silu_eligible(x, g) and jax.devices()[0].platform in ("tpu", "axon"):
+        return _gn_silu_diff(p["scale"], p["bias"], x, g, eps)
+    return _ref_gn_silu(p["scale"], p["bias"], x, groups, eps)
