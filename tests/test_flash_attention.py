@@ -125,17 +125,18 @@ def test_fused_group_norm_silu_bf16():
     )
 
 
-def test_pallas_attention_vjp_matches_xla():
-    from topomap_tpu.ops.flash_attention import _flash_t_bwd
+@pytest.mark.parametrize("tq,tk,d", [(256, 256, 40), (128, 77, 32), (64, 64, 128)])
+def test_pallas_attention_bwd_kernel_matches_xla(tq, tk, d):
+    from topomap_tpu.ops.flash_attention import flash_attention_t_bwd
 
-    b, h, t, d = 1, 2, 64, 32
-    q, k, v = _rand((b, h, t, d), 0), _rand((b, h, t, d), 1), _rand((b, h, t, d), 2)
-    g = _rand((b, h, t, d), 3)
+    b, h = 1, 2
+    q, k, v = _rand((b, h, tq, d), 0), _rand((b, h, tk, d), 1), _rand((b, h, tk, d), 2)
+    g = _rand((b, h, tq, d), 3)
     # reference grads via jax autodiff of the XLA path
     ref_grads = jax.vjp(xla_attention, q, k, v)[1](g)
-    got = _flash_t_bwd((q, k, v), g)
+    got = flash_attention_t_bwd(q, k, v, g, block_q=128, interpret=True)
     for a, r in zip(got, ref_grads):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=3e-4)
 
 
 def test_gn_silu_vjp_matches_reference():

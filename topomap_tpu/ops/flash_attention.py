@@ -186,6 +186,111 @@ def flash_attention_t(
     return out[:, :d, :tq].transpose(0, 2, 1).reshape(b, h, tq, d)
 
 
+def _bwd_kernel_t(qt_ref, kt_ref, vt_ref, gt_ref, dq_ref, dk_ref, dv_ref, *, scale: float):
+    """Blockwise flash backward in the transposed layout — never materializes [Tq,Tk] in
+    HBM. Per (bh, q-block): recompute probsT, then
+
+        dvT = gT·probsTᵀ,  dpT = vTᵀ... (all contractions over blk or tk, tile-aligned);
+        dsT = pT∘(dpT − colsum(dpT∘pT));  dqT = kT·dsT·scale;  dkT += qT·dsTᵀ·scale.
+
+    dk/dv accumulate across q-blocks in VMEM (same output block revisited while the inner
+    grid axis advances)."""
+    j = pl.program_id(1)
+    qt = qt_ref[0].astype(jnp.float32)  # [dh, blk]
+    kt = kt_ref[0].astype(jnp.float32)  # [dh, tk]
+    vt = vt_ref[0].astype(jnp.float32)
+    gt = gt_ref[0].astype(jnp.float32)  # [dh, blk]
+
+    logits_t = jax.lax.dot_general(
+        kt, qt, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                                        # [tk, blk]
+    m = jnp.max(logits_t, axis=0, keepdims=True)
+    p = jnp.exp(logits_t - m)
+    p = p / jnp.sum(p, axis=0, keepdims=True)        # probsT [tk, blk]
+
+    dp = jax.lax.dot_general(
+        vt, gt, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )                                                # [tk, blk]
+    ds = p * (dp - jnp.sum(dp * p, axis=0, keepdims=True))  # [tk, blk]
+
+    dq_ref[0] = (
+        jax.lax.dot_general(kt, ds, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        * scale
+    ).astype(dq_ref.dtype)                           # [dh, blk]
+
+    dk_c = jax.lax.dot_general(
+        qt, ds, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                                        # [dh, tk]
+    dv_c = jax.lax.dot_general(
+        gt, p, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                                # [dh, tk]
+
+    @pl.when(j == 0)
+    def _():
+        dk_ref[0] = dk_c.astype(dk_ref.dtype)
+        dv_ref[0] = dv_c.astype(dv_ref.dtype)
+
+    @pl.when(j > 0)
+    def _():
+        dk_ref[0] = dk_ref[0] + dk_c.astype(dk_ref.dtype)
+        dv_ref[0] = dv_ref[0] + dv_c.astype(dv_ref.dtype)
+
+
+def flash_attention_t_bwd(q, k, v, g, block_q: int = 256, interpret: bool = False):
+    """Returns (dq, dk, dv) with the same shapes/dtypes as q/k/v."""
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    scale = d**-0.5
+    sub = 8
+
+    need_mask = (tk % _LANE) != 0
+    d_pad = _round_up(d + (1 if need_mask else 0), sub)
+    tk_pad = _round_up(tk, _LANE)
+    blk_q = min(block_q, _round_up(tq, _LANE))
+    tq_pad = _round_up(tq, blk_q)
+
+    def t_pad(x, t_len, t_to):
+        x = x.reshape(b * h, t_len, d).transpose(0, 2, 1)
+        return jnp.pad(x, ((0, 0), (0, d_pad - d), (0, t_to - t_len)))
+
+    qt, kt, vt, gt = t_pad(q, tq, tq_pad), t_pad(k, tk, tk_pad), t_pad(v, tk, tk_pad), t_pad(g, tq, tq_pad)
+    if need_mask:
+        qt = qt.at[:, d, :tq].set(1.0)
+        kt = kt.at[:, d, tk:].set(-1e9 / scale)
+
+    grid = (b * h, tq_pad // blk_q)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel_t, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, d_pad, blk_q), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_pad, tk_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_pad, tk_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_pad, blk_q), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, d_pad, blk_q), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_pad, tk_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_pad, tk_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, d_pad, tq_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, d_pad, tk_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, d_pad, tk_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qt, kt, vt, gt)
+
+    def un_t(x, t_len):
+        return x[:, :d, :t_len].transpose(0, 2, 1).reshape(b, h, t_len, d)
+
+    return (
+        un_t(dq, tq).astype(q.dtype),
+        un_t(dk, tk).astype(k.dtype),
+        un_t(dv, tk).astype(v.dtype),
+    )
+
+
 @jax.custom_vjp
 def _flash_t_diff(q, k, v):
     return flash_attention_t(q, k, v)
@@ -196,21 +301,8 @@ def _flash_t_fwd(q, k, v):
 
 
 def _flash_t_bwd(res, g):
-    """Standard attention backward in XLA math (recompute probs; the fused forward saves
-    activation memory, the backward trades a recompute for it — same policy as flash
-    attention everywhere)."""
     q, k, v = res
-    scale = q.shape[-1] ** -0.5
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
-    p = jax.nn.softmax(logits, axis=-1)
-    gf = g.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
-    dv = jnp.einsum("bhqk,bhqd->bhkd", p, gf)
-    dp = jnp.einsum("bhqd,bhkd->bhqk", gf, vf)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32)) * scale
-    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32)) * scale
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+    return flash_attention_t_bwd(q, k, v, g)
 
 
 _flash_t_diff.defvjp(_flash_t_fwd, _flash_t_bwd)
