@@ -149,10 +149,10 @@ def bench_train():
     with ctx:
         params = simulate_pretrained(init_pipeline(jax.random.PRNGKey(0), cfg), jax.random.PRNGKey(1))
     params = jax.device_put(params, jax.devices()[0])
-    tx, _ = build_optimizer(params, OptimConfig("config3", total_steps=150_000, warmup=15_000))
-    state = init_train_state(params, tx)
+    tx, part = build_optimizer(params, OptimConfig("config3", total_steps=150_000, warmup=15_000))
+    state = init_train_state(params, tx, part)
     step_fn = jax.jit(
-        make_train_step(cfg, sched, tx, "config3", attn_fn=best_attention_fn(), remat=True),
+        make_train_step(cfg, sched, tx, part, "config3", attn_fn=best_attention_fn(), remat=True),
         donate_argnums=0,
     )
     tok, _ = make_tokenizers(cfg)

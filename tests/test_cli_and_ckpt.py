@@ -32,12 +32,12 @@ def test_orbax_roundtrip(tmp_path):
     cfg = PipelineConfig.tiny()
     params = init_pipeline(jax.random.PRNGKey(0), cfg)
     preset = get_preset("tiny_smoke")
-    tx, _ = build_optimizer(params, preset.optim)
-    state = init_train_state(params, tx)
+    tx, part = build_optimizer(params, preset.optim)
+    state = init_train_state(params, tx, part)
     state = dataclasses.replace(state, step=jnp.asarray(7, jnp.int32))
     save_train_state(tmp_path / "ckpt", state, 7)
 
-    blank = init_train_state(init_pipeline(jax.random.PRNGKey(9), cfg), tx)
+    blank = init_train_state(init_pipeline(jax.random.PRNGKey(9), cfg), tx, part)
     restored, step = restore_latest(tmp_path / "ckpt", blank)
     assert step == 7 and int(restored.step) == 7
     for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
@@ -47,8 +47,8 @@ def test_orbax_roundtrip(tmp_path):
 def test_restore_latest_empty_dir(tmp_path):
     cfg = PipelineConfig.tiny()
     params = init_pipeline(jax.random.PRNGKey(0), cfg)
-    tx, _ = build_optimizer(params, get_preset("tiny_smoke").optim)
-    state = init_train_state(params, tx)
+    tx, part = build_optimizer(params, get_preset("tiny_smoke").optim)
+    state = init_train_state(params, tx, part)
     _, step = restore_latest(tmp_path / "none", state)
     assert step == 0
 

@@ -97,12 +97,12 @@ def test_lpips_train_step_runs_and_updates():
     cfg = PipelineConfig.tiny()
     sched = make_schedule(1000)
     params = simulate_pretrained(init_pipeline(jax.random.PRNGKey(0), cfg), jax.random.PRNGKey(1))
-    tx, _ = build_optimizer(params, OptimConfig("config3", total_steps=50, warmup=5))
+    tx, part = build_optimizer(params, OptimConfig("config3", total_steps=50, warmup=5))
     lp = lpips_init(jax.random.PRNGKey(5), width_mult=0.05)
     step = jax.jit(
-        make_train_step(cfg, sched, tx, "config3", use_lpips=True, lpips_params=lp)
+        make_train_step(cfg, sched, tx, part, "config3", use_lpips=True, lpips_params=lp)
     )
-    state = init_train_state(params, tx)
+    state = init_train_state(params, tx, part)
     batch = {
         "seg": jnp.zeros((1, 32, 32, 3)),
         "gt": jnp.zeros((1, 32, 32, 3)),

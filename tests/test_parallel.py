@@ -47,9 +47,9 @@ def test_sharded_training_step_matches_single_device():
     from topomap_tpu.train.trainer import init_train_state, make_train_step
 
     params = simulate_pretrained(init_pipeline(jax.random.PRNGKey(0), CFG), jax.random.PRNGKey(1))
-    tx, _ = build_optimizer(params, OptimConfig("config3", total_steps=100, warmup=5))
-    step_fn = make_train_step(CFG, SCHED, tx, "config3")
-    state = init_train_state(params, tx)
+    tx, part = build_optimizer(params, OptimConfig("config3", total_steps=100, warmup=5))
+    step_fn = make_train_step(CFG, SCHED, tx, part, "config3")
+    state = init_train_state(params, tx, part)
 
     tok, _ = make_tokenizers(CFG)
     ids, mask = tok.encode(["Set Forest color to dark green"] * 8)
@@ -104,9 +104,9 @@ def test_two_level_mesh_training_step():
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     params = simulate_pretrained(init_pipeline(jax.random.PRNGKey(0), CFG), jax.random.PRNGKey(1))
-    tx, _ = build_optimizer(params, OptimConfig("config3", total_steps=100, warmup=5))
-    step_fn = make_train_step(CFG, SCHED, tx, "config3")
-    state = init_train_state(params, tx)
+    tx, part = build_optimizer(params, OptimConfig("config3", total_steps=100, warmup=5))
+    step_fn = make_train_step(CFG, SCHED, tx, part, "config3")
+    state = init_train_state(params, tx, part)
 
     tok, _ = make_tokenizers(CFG)
     ids, mask = tok.encode(["Set Forest color to dark green"] * 8)

@@ -74,9 +74,9 @@ def test_train_step_decreases_loss_and_freezes_frozen(params):
     opt_cfg = OptimConfig(config_name="config3", total_steps=100, warmup=5, lr_overrides={
         "ctrl_lora": 1e-3, "ctrl_ft": 1e-3, "unet_lora": 1e-3, "adapter": 1e-3,
     })
-    tx, _ = build_optimizer(params, opt_cfg)
-    step_fn = jax.jit(make_train_step(CFG, SCHED, tx, "config3"))
-    state = init_train_state(params, tx)
+    tx, part = build_optimizer(params, opt_cfg)
+    step_fn = jax.jit(make_train_step(CFG, SCHED, tx, part, "config3"))
+    state = init_train_state(params, tx, part)
     batch = _batch()
     rng = jax.random.PRNGKey(42)
 

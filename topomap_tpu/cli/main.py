@@ -75,8 +75,8 @@ def cmd_train(args):
     val_ds = PairsDataset(val_recs or train_recs, size=args.size)
     print(f"dataset: {len(ds)} train / {len(val_ds)} val tiles")
 
-    tx, _ = build_optimizer(params, preset.optim)
-    state = init_train_state(params, tx)
+    tx, part = build_optimizer(params, preset.optim)
+    state = init_train_state(params, tx, part)
     state, start_step = restore_latest(out / "ckpt", state)
     if start_step:
         print(f"resumed from step {start_step}")
@@ -87,7 +87,7 @@ def cmd_train(args):
 
         lpips_params = lpips_init(jax.random.PRNGKey(preset.seed + 2))
     step_fn = jax.jit(
-        make_train_step(cfg, sched, tx, preset.optim.config_name, preset.use_maskloss,
+        make_train_step(cfg, sched, tx, part, preset.optim.config_name, preset.use_maskloss,
                         preset.maskloss_warmup, use_lpips=preset.use_lpips,
                         lpips_params=lpips_params, remat=getattr(args, "remat", False))
     )
@@ -178,8 +178,8 @@ def _maybe_restore(args, preset, cfg, params):
         from topomap_tpu.train.trainer import init_train_state
         from topomap_tpu.utils.checkpoint import restore_latest
 
-        tx, _ = build_optimizer(params, preset.optim)
-        state = init_train_state(params, tx)
+        tx, part = build_optimizer(params, preset.optim)
+        state = init_train_state(params, tx, part)
         state, step = restore_latest(Path(args.ckpt) / "ckpt", state)
         print(f"restored step {step}")
         params = state.params

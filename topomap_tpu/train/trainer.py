@@ -28,7 +28,7 @@ from topomap_tpu.core.schedules import predict_start_from_noise
 from topomap_tpu.pipeline import PipelineConfig, apply_model, encode_text, decode_latent
 from topomap_tpu.models.vae import vae_encode, vae_sample_latent
 from topomap_tpu.train.losses import eps_mse, masked_color_losses, maskloss_total
-from topomap_tpu.train.optim import OptimConfig, LABELERS, build_optimizer, trainable_mask
+from topomap_tpu.train.optim import OptimConfig, LABELERS, ParamPartition, build_optimizer, trainable_mask
 
 Params = dict[str, Any]
 
@@ -41,18 +41,11 @@ class TrainState:
     step: jnp.ndarray  # scalar int32
 
 
-def _apply_trainable_mask(params: Params, mask: Params) -> Params:
-    """stop_gradient on frozen leaves so jax.grad never differentiates the frozen 1B-param
-    trunk (the functional analogue of ``requires_grad=False``)."""
-    return jax.tree.map(
-        lambda p, m: p if m else jax.lax.stop_gradient(p), params, mask
-    )
-
-
 def make_train_step(
     cfg: PipelineConfig,
     sched: DiffusionSchedule,
     tx: optax.GradientTransformation,
+    partition: ParamPartition,
     labeler_name: str = "config3",
     use_maskloss: bool = False,
     maskloss_warmup: int = 10_000,
@@ -74,14 +67,15 @@ def make_train_step(
     from topomap_tpu.train.losses import lpips_distance, perceptual_mix_loss
 
     attn_fn = attn_fn or xla_attention
-    labeler = LABELERS[labeler_name]
 
     def train_step(state: TrainState, batch, rng):
-        mask_tree = trainable_mask(state.params, labeler)
         rng_vae, rng_t, rng_noise = jax.random.split(jax.random.fold_in(rng, state.step), 3)
 
-        def loss_fn(params):
-            params = _apply_trainable_mask(params, mask_tree)
+        def loss_fn(train_leaves):
+            # Only the trainable partition is differentiated/updated — grads, optimizer
+            # state and updates scale with the adapter/LoRA size, not the 1.2B trunk
+            # (full-tree grads measured 20 s/step from HBM oversubscription).
+            params = partition.combine(state.params, train_leaves)
             # VAE encode (frozen; sampled posterior like get_first_stage_encoding)
             mean, logvar = vae_encode(params["vae"], cfg.vae, batch["gt"])
             z = vae_sample_latent(rng_vae, mean, logvar, cfg.vae.scale_factor)
@@ -113,17 +107,25 @@ def make_train_step(
                 return total, aux
             return mse, aux
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        train_leaves = partition.extract(state.params)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(train_leaves)
+        updates, opt_state = tx.update(grads, state.opt_state, train_leaves)
+        new_train = optax.apply_updates(train_leaves, updates)
+        params = partition.combine(state.params, new_train)
         new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
         return new_state, dict(aux, loss=loss)
 
     return train_step
 
 
-def init_train_state(params: Params, tx: optax.GradientTransformation) -> TrainState:
-    return TrainState(params=params, opt_state=tx.init(params), step=jnp.asarray(0, jnp.int32))
+def init_train_state(
+    params: Params, tx: optax.GradientTransformation, partition: ParamPartition
+) -> TrainState:
+    return TrainState(
+        params=params,
+        opt_state=tx.init(partition.extract(params)),
+        step=jnp.asarray(0, jnp.int32),
+    )
 
 
 def make_validate_step(cfg: PipelineConfig, sched: DiffusionSchedule, iters: int = 8, seed: int = 12345, attn_fn=None):
