@@ -151,17 +151,23 @@ def bench_train():
     params = jax.device_put(params, jax.devices()[0])
     tx, part = build_optimizer(params, OptimConfig("config3", total_steps=150_000, warmup=15_000))
     state = init_train_state(params, tx, part)
+    scan_steps = int(os.environ.get("BENCH_SCAN", "25"))
+    from topomap_tpu.train.trainer import make_train_scan
+
     step_fn = jax.jit(
-        make_train_step(cfg, sched, tx, part, "config3", attn_fn=best_attention_fn(), remat=True),
+        make_train_scan(
+            make_train_step(cfg, sched, tx, part, "config3", attn_fn=best_attention_fn(), remat=True),
+            scan_steps,
+        ),
         donate_argnums=0,
     )
     tok, _ = make_tokenizers(cfg)
     ids, mask = tok.encode(["Set Forest color to dark green"] * batch)
     batch_d = {
-        "seg": jnp.zeros((batch, size, size, 3)),
-        "gt": jnp.zeros((batch, size, size, 3)),
-        "ids": jnp.asarray(ids),
-        "mask": jnp.asarray(mask),
+        "seg": jnp.zeros((scan_steps, batch, size, size, 3)),
+        "gt": jnp.zeros((scan_steps, batch, size, size, 3)),
+        "ids": jnp.tile(jnp.asarray(ids)[None], (scan_steps, 1, 1)),
+        "mask": jnp.tile(jnp.asarray(mask)[None], (scan_steps, 1, 1)),
     }
     rng = jax.random.PRNGKey(7)
     print("bench-train: compiling...", file=sys.stderr, flush=True)
@@ -169,14 +175,12 @@ def bench_train():
     state, m = step_fn(state, batch_d, rng)
     jax.block_until_ready(m["loss"])
     print(f"bench-train: compile+first {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
-    n = 10
     t0 = time.perf_counter()
-    for _ in range(n):
-        state, m = step_fn(state, batch_d, rng)
+    state, m = step_fn(state, batch_d, rng)
     jax.block_until_ready(m["loss"])
-    dt = (time.perf_counter() - t0) / n
+    dt = (time.perf_counter() - t0) / scan_steps
     print(json.dumps({
-        "metric": f"config3 train steps/sec/chip at batch {batch}, {size}^2, bf16, remat",
+        "metric": f"config3 train steps/sec/chip at batch {batch}, {size}^2, bf16, remat, scan{scan_steps}",
         "value": round(1.0 / dt, 4),
         "unit": "steps/sec/chip",
         "vs_baseline": None,

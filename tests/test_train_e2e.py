@@ -143,3 +143,41 @@ def test_apply_model_matches_cfg_contract(params):
     t = jnp.array([5, 900])
     eps = apply_model(params, CFG, z, t, {"crossattn": c, "concat": batch["seg"]})
     assert eps.shape == z.shape and eps.dtype == jnp.float32
+
+
+def test_train_scan_matches_sequential_steps():
+    from topomap_tpu.train.trainer import make_train_scan, stack_batches
+
+    opt_cfg = OptimConfig(config_name="config3", total_steps=100, warmup=5)
+    from topomap_tpu.train.optim import build_optimizer as _bo
+
+    tx, part = _bo(_params_static(), opt_cfg)
+    step_fn = make_train_step(CFG, SCHED, tx, part, "config3")
+    state0 = init_train_state(_params_static(), tx, part)
+    b1, b2 = _batch(), _batch()
+    rng = jax.random.PRNGKey(0)
+
+    s_seq = state0
+    for b in (b1, b2):
+        s_seq, m_seq = jax.jit(step_fn)(s_seq, b, rng)
+
+    scan_fn = jax.jit(make_train_scan(step_fn, 2))
+    stacked = jax.tree.map(lambda a, b: jnp.stack([a, b]), b1, b2)
+    s_scan, ms = scan_fn(state0, stacked, rng)
+    assert ms["loss"].shape == (2,)
+    np.testing.assert_allclose(float(m_seq["loss"]), float(ms["loss"][1]), rtol=1e-5)
+    for a, b in zip(part.extract(s_seq.params), part.extract(s_scan.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+_PARAMS_CACHE = {}
+
+
+def _params_static():
+    if "p" not in _PARAMS_CACHE:
+        from topomap_tpu.pipeline import simulate_pretrained
+
+        _PARAMS_CACHE["p"] = simulate_pretrained(
+            init_pipeline(jax.random.PRNGKey(0), CFG), jax.random.PRNGKey(1)
+        )
+    return _PARAMS_CACHE["p"]

@@ -118,6 +118,36 @@ def make_train_step(
     return train_step
 
 
+def make_train_scan(train_step: Callable, n_steps: int) -> Callable:
+    """Run ``n_steps`` train steps inside ONE jitted ``lax.scan``.
+
+    Amortizes per-dispatch overhead (the TrainState has ~2500 leaves; on a remote-TPU
+    backend a per-step dispatch measured SECONDS of host↔device orchestration against
+    ~0.3 s of actual device work) and lets XLA pipeline across steps. ``batches`` is the
+    step-stacked pytree: every array leaf gains a leading ``n_steps`` axis.
+
+    Returns ``scan_fn(state, batches, rng) -> (state, stacked_metrics)``.
+    """
+
+    def scan_fn(state: TrainState, batches, rng):
+        def body(carry, batch):
+            new_state, metrics = train_step(carry, batch, rng)
+            return new_state, metrics
+
+        return jax.lax.scan(body, state, batches)
+
+    return scan_fn
+
+
+def stack_batches(batch_list: list) -> Any:
+    """Stack a list of same-shaped batch dicts along a new leading axis for train_scan.
+    String fields (prompts) are dropped — tokenize before stacking."""
+    import numpy as np
+
+    keys = [k for k in batch_list[0] if not isinstance(batch_list[0][k], (list, str))]
+    return {k: np.stack([b[k] for b in batch_list]) for k in keys}
+
+
 def init_train_state(
     params: Params, tx: optax.GradientTransformation, partition: ParamPartition
 ) -> TrainState:
