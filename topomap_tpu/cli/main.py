@@ -118,21 +118,43 @@ def cmd_train(args):
     it = ds.iter_batches(preset.batch_size, shuffle=True, seed=preset.seed)
     with profile_trace(getattr(args, "profile_dir", None)):
         pass  # profiler scope is per-run when requested; see below for per-step timing
-    for batch_host in it:
-        if int(state.step) >= steps:
-            break
-        batch = to_device_batch(batch_host)
-        with timer:
+    scan_n = max(1, getattr(args, "scan_steps", 1))
+    if scan_n > 1:
+        from topomap_tpu.train.trainer import make_train_scan
+
+        scan_fn = jax.jit(make_train_scan(
+            make_train_step(cfg, sched, tx, part, preset.optim.config_name,
+                            preset.use_maskloss, preset.maskloss_warmup,
+                            use_lpips=preset.use_lpips, lpips_params=lpips_params,
+                            remat=getattr(args, "remat", False)),
+            scan_n,
+        ), donate_argnums=0)
+
+    def run_chunk(state):
+        """One dispatch: either a single step or a scan over scan_n loader batches."""
+        import jax.numpy as jnp
+
+        if scan_n == 1:
+            batch = to_device_batch(next(it))
             state, metrics = step_fn(state, batch, rng)
-            loss = float(metrics["loss"])  # blocks until the step finishes
+            return state, [float(metrics["loss"])]
+        hosts = [to_device_batch(next(it)) for _ in range(scan_n)]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *hosts)
+        state, metrics = scan_fn(state, stacked, rng)
+        return state, [float(x) for x in metrics["loss"]]
+
+    while int(state.step) < steps:
+        with timer:
+            state, losses = run_chunk(state)
         step = int(state.step)
-        ema = meter.update(loss)
-        append_train(log, step, loss, ema)
-        if step % args.log_every == 0:
-            print(f"step {step}/{steps} loss {loss:.4f} ema {ema:.4f} "
-                  f"({timer.steps_per_sec:.2f} it/s, "
-                  f"{timer.items_per_sec(preset.batch_size):.2f} tiles/s)")
-            tp_log.write(step, timer, preset.batch_size)
+        for i, loss in enumerate(losses):
+            ema = meter.update(loss)
+            append_train(log, step - len(losses) + 1 + i, loss, ema)
+        if step % args.log_every < len(losses):
+            print(f"step {step}/{steps} loss {losses[-1]:.4f} ema {ema:.4f} "
+                  f"({timer.steps_per_sec * len(losses):.2f} it/s, "
+                  f"{timer.items_per_sec(preset.batch_size * len(losses)):.2f} tiles/s)")
+            tp_log.write(step, timer, preset.batch_size * len(losses))
         if step % preset.val_every == 0 or step >= steps:
             vb = to_device_batch(next(val_ds.iter_batches(min(4, len(val_ds)), shuffle=False)))
             val_mse = float(val_fn(state.params, vb))
@@ -291,6 +313,8 @@ def build_parser():
     sp.add_argument("--log-every", type=int, default=50)
     sp.add_argument("--profile-dir", default=None, help="jax.profiler trace output dir")
     sp.add_argument("--remat", action="store_true", help="rematerialize UNet blocks (memory)")
+    sp.add_argument("--scan-steps", type=int, default=1,
+                    help="train steps fused per dispatch (lax.scan); amortizes dispatch overhead")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("sample")
