@@ -125,3 +125,14 @@ def test_cli_stylize_sheet(tmp_path):
     ])
     out = np.array(Image.open(out_png))
     assert out.shape == (64, 64, 3)
+
+
+def test_cli_grid(tmp_path):
+    data_dir = tmp_path / "data"
+    cli_main(["make-data", "--out", str(data_dir), "--tiles", "2"])
+    out_png = tmp_path / "grid.png"
+    cli_main([
+        "grid", "--preset", "tiny_smoke", "--data", str(data_dir / "pairs.jsonl"),
+        "--n", "2", "--size", "32", "--ddim-steps", "2", "--out", str(out_png),
+    ])
+    assert out_png.exists()

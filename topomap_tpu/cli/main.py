@@ -284,6 +284,36 @@ def cmd_stylize_sheet(args):
     print(f"wrote {args.out} ({out.shape[1]}x{out.shape[0]})")
 
 
+def cmd_grid(args):
+    """Render a concept grid (seg / prediction / gt rows) from a trained run — the CLI form
+    of the reference's ``visualization.py`` checkpoint re-render (``:110-164``)."""
+    import jax.numpy as jnp
+
+    from topomap_tpu.data.pairs import PairsDataset, read_pairs_jsonl
+    from topomap_tpu.eval.grids import save_concept_grid
+    from topomap_tpu.eval.sampling import sample_preview
+    from topomap_tpu.ops.image import from_signed
+
+    preset, cfg, sched, params, tok, _ = _setup(args)
+    params = _maybe_restore(args, preset, cfg, params)
+    records = read_pairs_jsonl(args.data)[: args.n]
+    ds = PairsDataset(records, size=args.size)
+    items = [ds[i] for i in range(len(ds))]
+    ids, mask = tok.encode([r.prompt for r in records])
+    batch = {
+        "seg": jnp.asarray(np.stack([it["seg"] for it in items])),
+        "ids": jnp.asarray(ids),
+        "mask": jnp.asarray(mask),
+    }
+    img = sample_preview(params, cfg, sched, batch, steps=args.ddim_steps, scale=args.scale,
+                         seed=args.seed)
+    preds = np.asarray(from_signed(img))
+    segs = np.asarray(np.clip(batch["seg"] * 255, 0, 255), np.uint8)
+    gts = np.stack([np.clip((it["gt"] + 1) * 127.5, 0, 255).astype(np.uint8) for it in items])
+    save_concept_grid(args.out, segs, preds, gts, prompt=" | ".join(r.prompt[:30] for r in records))
+    print(f"wrote {args.out}")
+
+
 def cmd_make_data(args):
     from topomap_tpu.data.synthetic import generate_pairs_dataset
 
@@ -339,6 +369,13 @@ def build_parser():
     sp.add_argument("--batch-tiles", type=int, default=4)
     sp.add_argument("--out", default="sheet_styled.png")
     sp.set_defaults(fn=cmd_stylize_sheet)
+
+    sp = sub.add_parser("grid")
+    common(sp)
+    sp.add_argument("--data", required=True)
+    sp.add_argument("--n", type=int, default=4)
+    sp.add_argument("--out", default="concept_grid.png")
+    sp.set_defaults(fn=cmd_grid)
 
     sp = sub.add_parser("make-data")
     sp.add_argument("--out", required=True)
