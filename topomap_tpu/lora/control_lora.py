@@ -23,7 +23,6 @@ and ``inject_control_states`` writes the runtime control states into the tree (l
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Any, Optional
 
 import jax
@@ -135,7 +134,6 @@ def build_control_lora_tree(
     ``to_control_out``]) on every attn1 (self-attention sees the spatial control)."""
     spec = spec or LoRASpec.qkvo(cfg.rank)
     tree = build_lora_tree(unet_params, spec, key)
-    widths_at_ds = _ds_to_width(unet_cfg)
 
     counter = [0]
 

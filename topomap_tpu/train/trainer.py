@@ -28,7 +28,7 @@ from topomap_tpu.core.schedules import predict_start_from_noise
 from topomap_tpu.pipeline import PipelineConfig, apply_model, encode_text, decode_latent
 from topomap_tpu.models.vae import vae_encode, vae_sample_latent
 from topomap_tpu.train.losses import eps_mse, masked_color_losses, maskloss_total
-from topomap_tpu.train.optim import OptimConfig, LABELERS, ParamPartition, build_optimizer, trainable_mask
+from topomap_tpu.train.optim import OptimConfig, LABELERS, ParamPartition, build_optimizer, trainable_mask  # noqa: F401 (re-exported)
 
 Params = dict[str, Any]
 
