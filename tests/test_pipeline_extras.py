@@ -1,0 +1,112 @@
+"""Pipeline edge coverage: control scales in sampling, CN-LoRA in the full pipeline,
+guess-mode schedule in stylize_sheet, merge-then-sample equivalence."""
+import dataclasses as dc
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from topomap_tpu.core import DDIMConfig, guess_mode_control_scales, make_schedule
+from topomap_tpu.lora import LoRASpec
+from topomap_tpu.pipeline import (
+    PipelineConfig,
+    apply_model,
+    encode_text,
+    init_pipeline,
+    make_tokenizers,
+    merge_for_sampling,
+    sample,
+    simulate_pretrained,
+)
+
+CFG = PipelineConfig.tiny()
+SCHED = make_schedule(1000)
+
+
+def _params(cfg=CFG):
+    return simulate_pretrained(init_pipeline(jax.random.PRNGKey(0), cfg), jax.random.PRNGKey(1))
+
+
+def test_sample_with_guess_mode_scales():
+    params = _params()
+    tok, _ = make_tokenizers(CFG)
+    ids, mask = tok.encode(["Set Lake color to turquoise"])
+    c = encode_text(params, CFG, jnp.asarray(ids), jnp.asarray(mask))
+    seg = jnp.zeros((1, 32, 32, 3))
+    # tiny config has 5 control residuals
+    scales = guess_mode_control_scales(1.0, n=5)
+    out = sample(params, CFG, SCHED, DDIMConfig(2, 9.0), jax.random.PRNGKey(0), seg, c,
+                 control_scales=scales)
+    assert out.shape == (1, 32, 32, 3) and np.isfinite(np.asarray(out)).all()
+
+
+def test_merge_then_sample_equals_runtime_lora_sampling():
+    params = _params()
+    # make LoRA non-trivial
+    for coll in ("unet_lora", "ctrl_lora"):
+        params[coll] = jax.tree.map(
+            lambda x: jax.random.normal(jax.random.PRNGKey(3), x.shape) * 0.05
+            if (hasattr(x, "ndim") and x.ndim == 2) else x,
+            params[coll],
+        )
+    tok, _ = make_tokenizers(CFG)
+    ids, mask = tok.encode(["Set Building color to red"])
+    c = encode_text(params, CFG, jnp.asarray(ids), jnp.asarray(mask))
+    seg = jnp.zeros((1, 32, 32, 3))
+    ddim = DDIMConfig(3, 7.5)
+    out_runtime = sample(params, CFG, SCHED, ddim, jax.random.PRNGKey(0), seg, c)
+    merged = merge_for_sampling(params)
+    out_merged = sample(merged, CFG, SCHED, ddim, jax.random.PRNGKey(0), seg, c)
+    np.testing.assert_allclose(np.asarray(out_runtime), np.asarray(out_merged), atol=2e-4)
+
+
+def test_conditional_cn_lora_full_pipeline_step():
+    cond_dim = CFG.unet.model_channels + CFG.unet.context_dim
+    cfg = dc.replace(CFG, ctrl_lora=LoRASpec.cn_lora(2, cond_dim=cond_dim))
+    params = _params(cfg)
+    # nonzero B so the conditional branch matters
+    params["ctrl_lora"] = jax.tree.map(
+        lambda x: jax.random.normal(jax.random.PRNGKey(5), x.shape) * 0.05
+        if (hasattr(x, "ndim") and x.ndim == 2) else x,
+        params["ctrl_lora"],
+    )
+    from topomap_tpu.eval.sampling import pooled_seg_feature
+    from topomap_tpu.lora import attach_condition
+
+    tok, _ = make_tokenizers(cfg)
+    ids, mask = tok.encode(["Set Forest color to olive"])
+    c = encode_text(params, cfg, jnp.asarray(ids), jnp.asarray(mask))
+    seg = jax.random.uniform(jax.random.PRNGKey(7), (1, 32, 32, 3))
+    seg_feat = pooled_seg_feature(params, cfg, seg)
+    feat = jnp.concatenate([seg_feat, c.mean(axis=1)], axis=-1)
+    p2 = dict(params, ctrl_lora=attach_condition(params["ctrl_lora"], feat))
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 4))
+    eps = apply_model(p2, cfg, z, jnp.asarray([10]), {"crossattn": c, "concat": seg})
+    assert np.isfinite(np.asarray(eps)).all()
+    # different condition → different eps
+    p3 = dict(params, ctrl_lora=attach_condition(params["ctrl_lora"], feat * 0.0))
+    eps2 = apply_model(p3, cfg, z, jnp.asarray([10]), {"crossattn": c, "concat": seg})
+    assert not np.allclose(np.asarray(eps), np.asarray(eps2))
+
+
+def test_stylize_sheet_with_contours_and_scales():
+    from PIL import Image
+
+    from topomap_tpu.data.synthetic import generate_seg_tile
+    from topomap_tpu.eval.sampling import stylize_sheet
+
+    params = _params()
+    tok, _ = make_tokenizers(CFG)
+    ids, mask = tok.encode(["Render River in bold outline style"])
+    c = encode_text(params, CFG, jnp.asarray(ids), jnp.asarray(mask))
+    sheet = np.concatenate([generate_seg_tile(i)[:32, :32] for i in range(2)], axis=1)
+    contours = np.zeros_like(sheet)
+    contours[5, 5] = (184, 94, 20)
+    out = stylize_sheet(
+        params, CFG, SCHED, jnp.asarray(sheet),
+        crossattn_fn=lambda n: jnp.tile(c, (n, 1, 1)),
+        tile=32, steps=2, batch_tiles=1,
+        control_scales=guess_mode_control_scales(1.0, n=5),
+        contours_u8=jnp.asarray(contours),
+    )
+    assert out.shape == (32, 64, 3)
