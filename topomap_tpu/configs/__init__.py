@@ -1,0 +1,1 @@
+from topomap_tpu.configs.presets import PRESETS, ExperimentPreset, get_preset
