@@ -77,3 +77,42 @@ def test_ddpm_ancestral_sampler_statistics():
     # guidance_scale=1 with uncond given == no-cfg path
     c = ddpm_sample(f, sched, k, (1, 4, 4, 2), cond=jnp.ones((1, 3)), uncond=jnp.zeros((1, 3)), guidance_scale=1.0)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_cfg_interval_one_matches_reference_path():
+    """cfg_interval=1 must be numerically identical to the standard CFG trajectory."""
+    sched = make_schedule(1000)
+    w = jnp.linspace(0.1, 0.9, 16).reshape(4, 4)
+
+    def denoise(x, t, cond):
+        scale = jnp.sum(cond, axis=-1)[:, None, None, None]
+        return x * 0.01 * scale + w[None, :, :, None] * 0.05
+
+    cond = jnp.ones((2, 4))
+    uncond = jnp.zeros((2, 4))
+    key = jax.random.PRNGKey(7)
+    ref = ddim_sample(denoise, sched, DDIMConfig(8, 7.5), key, (2, 4, 4, 4), cond, uncond)
+    out = ddim_sample(
+        denoise, sched, DDIMConfig(8, 7.5, cfg_interval=1), key, (2, 4, 4, 4), cond, uncond
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_cfg_interval_two_runs_and_approximates():
+    sched = make_schedule(1000)
+
+    def denoise(x, t, cond):
+        scale = jnp.sum(cond, axis=-1)[:, None, None, None]
+        return 0.05 * x * (1 + 0.1 * scale)
+
+    cond = jnp.ones((1, 4))
+    uncond = jnp.zeros((1, 4))
+    key = jax.random.PRNGKey(0)
+    exact = ddim_sample(denoise, sched, DDIMConfig(8, 7.5), key, (1, 4, 4, 4), cond, uncond)
+    lazy = ddim_sample(
+        denoise, sched, DDIMConfig(8, 7.5, cfg_interval=2), key, (1, 4, 4, 4), cond, uncond
+    )
+    assert np.all(np.isfinite(np.asarray(lazy)))
+    # close but not identical (stale uncond between refreshes)
+    rel = np.abs(np.asarray(lazy) - np.asarray(exact)).max() / (np.abs(np.asarray(exact)).max() + 1e-9)
+    assert rel < 0.2

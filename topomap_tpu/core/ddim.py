@@ -32,6 +32,11 @@ class DDIMConfig:
     eta: float = 0.0
     # When True (default), run cond+uncond as one 2B-batched model call per scan step.
     parallel_cfg: bool = True
+    # Opt-in speed knob: refresh the UNCONDITIONAL epsilon only every `cfg_interval`-th
+    # step and reuse the stale one in between (lazy-CFG; related to encoder-reuse tricks,
+    # cf. "Faster Diffusion" arXiv:2312.09608). 1 = exact reference CFG; 2 cuts model
+    # evaluations by 25%.
+    cfg_interval: int = 1
 
 
 def guess_mode_control_scales(strength: float = 1.0, n: int = 13) -> jnp.ndarray:
@@ -88,11 +93,21 @@ def ddim_sample(
     if cfg.parallel_cfg:
         cond2 = jax.tree.map(lambda c, u: jnp.concatenate([c, u], axis=0), cond, uncond)
 
-    def model_eps(x_t, t_scalar):
+    def model_eps(x_t, t_scalar, eps_u_prev, refresh):
+        """Returns (guided eps, eps_u for the carry)."""
         t_b = jnp.full((b,), t_scalar, jnp.int32)
         if cfg.guidance_scale == 1.0:
-            return denoise_fn(x_t, t_b, cond)
-        if cfg.parallel_cfg:
+            e = denoise_fn(x_t, t_b, cond)
+            return e, e
+        if cfg.cfg_interval > 1:
+            # Lazy CFG: fresh cond every step; uncond only on refresh steps.
+            eps_c = denoise_fn(x_t, t_b, cond)
+            eps_u = jax.lax.cond(
+                refresh,
+                lambda: denoise_fn(x_t, t_b, uncond),
+                lambda: eps_u_prev,
+            )
+        elif cfg.parallel_cfg:
             eps2 = denoise_fn(
                 jnp.concatenate([x_t, x_t], axis=0),
                 jnp.concatenate([t_b, t_b], axis=0),
@@ -102,20 +117,22 @@ def ddim_sample(
         else:
             eps_c = denoise_fn(x_t, t_b, cond)
             eps_u = denoise_fn(x_t, t_b, uncond)
-        return eps_u + cfg.guidance_scale * (eps_c - eps_u)
+        return eps_u + cfg.guidance_scale * (eps_c - eps_u), eps_u
 
     def step(carry, idx):
         # idx runs 0..S-1 over REVERSED step order (t descending).
-        x_t, step_rng = carry
+        x_t, eps_u_prev, step_rng = carry
         i = cfg.num_steps - 1 - idx
         a_t, a_prev, sigma = alphas[i], alphas_prev[i], sigmas[i]
-        eps = model_eps(x_t, ts[i])
+        refresh = (idx % cfg.cfg_interval) == 0
+        eps, eps_u = model_eps(x_t, ts[i], eps_u_prev, refresh)
         pred_x0 = (x_t - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
         dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma**2, 0.0)) * eps
         step_rng, noise_rng = jax.random.split(step_rng)
         noise = sigma * jax.random.normal(noise_rng, x_t.shape, x_t.dtype)
         x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
-        return (x_prev, step_rng), None
+        return (x_prev, eps_u, step_rng), None
 
-    (x, _), _ = jax.lax.scan(step, (x, rng), jnp.arange(cfg.num_steps))
+    eps_u0 = jnp.zeros(shape, jnp.float32)
+    (x, _, _), _ = jax.lax.scan(step, (x, eps_u0, rng), jnp.arange(cfg.num_steps))
     return x
