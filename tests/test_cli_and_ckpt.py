@@ -136,3 +136,58 @@ def test_cli_grid(tmp_path):
         "--n", "2", "--size", "32", "--ddim-steps", "2", "--out", str(out_png),
     ])
     assert out_png.exists()
+
+
+def test_cli_best_of_n(tmp_path):
+    data_dir = tmp_path / "data"
+    cli_main(["make-data", "--out", str(data_dir), "--tiles", "1"])
+    seg_png = next((data_dir / "source").glob("*.png"))
+    out_png = tmp_path / "best.png"
+    cli_main([
+        "best-of-n", "--preset", "tiny_smoke", "--prompt", "Set Lake color to navy blue",
+        "--seg", str(seg_png), "--n", "2", "--size", "32", "--ddim-steps", "2",
+        "--out", str(out_png),
+    ])
+    assert out_png.exists()
+    report = json.loads(out_png.with_suffix(".report.json").read_text())
+    assert report["picked"] in (0, 1) and len(report["miou"]) == 2
+
+
+def test_cli_compare_runs(tmp_path):
+    data_dir = tmp_path / "data"
+    cli_main(["make-data", "--out", str(data_dir), "--tiles", "2"])
+    runs = []
+    for name in ("a", "b"):
+        run_dir = tmp_path / name
+        cli_main([
+            "train", "--preset", "tiny_smoke", "--data", str(data_dir / "pairs.jsonl"),
+            "--out", str(run_dir), "--steps", "2", "--size", "32", "--log-every", "2",
+        ])
+        assert list((run_dir / "filtered").glob("*_step2.npz"))
+        runs.append(run_dir)
+    out_png = tmp_path / "cmp.png"
+    cli_main([
+        "compare-runs", "--preset", "tiny_smoke", "--data", str(data_dir / "pairs.jsonl"),
+        "--runs", f"A={runs[0]/'filtered'}:2", f"B={runs[1]/'filtered'}:2",
+        "--n", "2", "--size", "32", "--ddim-steps", "2", "--out", str(out_png),
+    ])
+    assert out_png.exists()
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """save wait=False + wait_for_checkpoints == durable checkpoint."""
+    from topomap_tpu.utils.checkpoint import wait_for_checkpoints
+
+    cfg = PipelineConfig.tiny()
+    params = init_pipeline(jax.random.PRNGKey(0), cfg)
+    preset = get_preset("tiny_smoke")
+    tx, part = build_optimizer(params, preset.optim)
+    state = init_train_state(params, tx, part)
+    state = dataclasses.replace(state, step=jnp.asarray(3, jnp.int32))
+    save_train_state(tmp_path / "ckpt", state, 3, wait=False)
+    wait_for_checkpoints(tmp_path / "ckpt")
+    blank = init_train_state(init_pipeline(jax.random.PRNGKey(9), cfg), tx, part)
+    restored, step = restore_latest(tmp_path / "ckpt", blank)
+    assert step == 3
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

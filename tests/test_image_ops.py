@@ -94,3 +94,42 @@ def test_apply_style_recolors_only_target_class():
     if forest.any():
         assert np.all(styled[forest] == (20, 90, 30))
     np.testing.assert_array_equal(styled[~forest], seg[~forest])
+
+
+def test_overlap_positions_cover_and_pin_last():
+    from topomap_tpu.ops.image import overlap_positions
+
+    pos = overlap_positions(160, 64, 16)  # stride 48: 0,48,96 then pinned 96? 96+64=160 ok
+    assert pos[0] == 0 and pos[-1] == 160 - 64
+    assert all(b - a <= 64 - 16 for a, b in zip(pos, pos[1:]))
+    assert overlap_positions(128, 64, 0) == [0, 64]
+
+
+def test_tile_overlap_blend_reconstructs_constant_regions():
+    """Identity check: blending back the very tiles cut from a sheet returns the sheet
+    exactly (weights sum to the same profile in every covered pixel)."""
+    from topomap_tpu.ops.image import stitch_tiles_blend, tile_sheet_overlap
+
+    rng = np.random.RandomState(0)
+    sheet = rng.randint(0, 256, (160, 224, 3), np.uint8)
+    tiles, ys, xs = tile_sheet_overlap(jnp.asarray(sheet), dim=64, overlap=16)
+    assert tiles.shape == (len(ys) * len(xs), 64, 64, 3)
+    out = np.asarray(stitch_tiles_blend(tiles, ys, xs, overlap=16))
+    np.testing.assert_array_equal(out, sheet)
+
+
+def test_blend_feathers_seam():
+    """Two half-overlapping constant tiles: the overlap column band must cross-fade
+    monotonically from one value to the other instead of a hard jump."""
+    from topomap_tpu.ops.image import stitch_tiles_blend
+
+    dim, ov = 64, 32
+    t0 = np.full((dim, dim, 3), 50, np.uint8)
+    t1 = np.full((dim, dim, 3), 200, np.uint8)
+    tiles = jnp.asarray(np.stack([t0, t1]))
+    out = np.asarray(stitch_tiles_blend(tiles, [0], [0, dim - ov], ov)).astype(np.int32)
+    band = out[dim // 2, dim - ov : dim, 0]
+    assert band[0] <= 80 and band[-1] >= 170
+    assert np.all(np.diff(band) >= 0)
+    np.testing.assert_array_equal(out[:, : dim - ov], 50)
+    np.testing.assert_array_equal(out[:, dim:], 200)

@@ -110,3 +110,22 @@ def test_stylize_sheet_with_contours_and_scales():
         contours_u8=jnp.asarray(contours),
     )
     assert out.shape == (32, 64, 3)
+
+
+def test_stylize_sheet_overlap_blend():
+    """Overlapped-tile seam blending: full pipeline on a 32x64 sheet of 32-tiles with
+    16 px overlap — output geometry matches and values are finite/uint8."""
+    from topomap_tpu.data.synthetic import generate_seg_tile
+    from topomap_tpu.eval.sampling import stylize_sheet
+
+    params = _params()
+    tok, _ = make_tokenizers(CFG)
+    ids, mask = tok.encode(["Set Forest color to dark green"])
+    c = encode_text(params, CFG, jnp.asarray(ids), jnp.asarray(mask))
+    sheet = np.concatenate([generate_seg_tile(i)[:32, :32] for i in range(2)], axis=1)
+    out = stylize_sheet(
+        params, CFG, SCHED, jnp.asarray(sheet),
+        crossattn_fn=lambda n: jnp.tile(c, (n, 1, 1)),
+        tile=32, steps=2, batch_tiles=2, overlap=16,
+    )
+    assert out.shape == (32, 64, 3) and out.dtype == jnp.uint8

@@ -130,17 +130,30 @@ def cmd_train(args):
             scan_n,
         ), donate_argnums=0)
 
+    import jax.numpy as jnp
+
+    def prepare_chunk(hosts):
+        if scan_n == 1:
+            return to_device_batch(hosts)
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *[to_device_batch(h) for h in hosts])
+
+    def chunk_source():
+        while True:
+            yield next(it) if scan_n == 1 else [next(it) for _ in range(scan_n)]
+
+    if getattr(args, "prefetch", 0) > 0:
+        from topomap_tpu.data.prefetch import DevicePrefetcher
+
+        chunks = DevicePrefetcher(chunk_source(), prepare_chunk, depth=args.prefetch)
+    else:
+        chunks = map(prepare_chunk, chunk_source())
+
     def run_chunk(state):
         """One dispatch: either a single step or a scan over scan_n loader batches."""
-        import jax.numpy as jnp
-
         if scan_n == 1:
-            batch = to_device_batch(next(it))
-            state, metrics = step_fn(state, batch, rng)
+            state, metrics = step_fn(state, next(chunks), rng)
             return state, [float(metrics["loss"])]
-        hosts = [to_device_batch(next(it)) for _ in range(scan_n)]
-        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *hosts)
-        state, metrics = scan_fn(state, stacked, rng)
+        state, metrics = scan_fn(state, next(chunks), rng)
         return state, [float(x) for x in metrics["loss"]]
 
     while int(state.step) < steps:
@@ -162,10 +175,14 @@ def cmd_train(args):
             print(f"  val_mse {val_mse:.4f}")
             save_loss_log(log, out / "loss_log.json")
             save_loss_curve(log, out / "loss_curve.png")
-            save_train_state(out / "ckpt", state, step)
+            # async: serialization overlaps the next training steps
+            save_train_state(out / "ckpt", state, step, wait=False)
             save_filtered(out / "filtered", state.params, step)
     save_loss_log(log, out / "loss_log.json")
+    from topomap_tpu.utils.checkpoint import wait_for_checkpoints
+
     save_train_state(out / "ckpt", state, int(state.step))
+    wait_for_checkpoints()
     print(f"done at step {int(state.step)}")
 
 
@@ -278,7 +295,7 @@ def cmd_stylize_sheet(args):
     out = stylize_sheet(
         params, cfg, sched, jnp.asarray(sheet), crossattn_fn,
         tile=args.size, steps=args.ddim_steps, scale=args.scale, seed=args.seed,
-        batch_tiles=args.batch_tiles, contours_u8=contours,
+        batch_tiles=args.batch_tiles, contours_u8=contours, overlap=args.overlap,
     )
     Image.fromarray(np.asarray(out)).save(args.out)
     print(f"wrote {args.out} ({out.shape[1]}x{out.shape[0]})")
@@ -314,6 +331,73 @@ def cmd_grid(args):
     print(f"wrote {args.out}")
 
 
+def cmd_best_of_n(args):
+    """Best-of-N Siegfried-style generation for one tile (``evaluateCNSiegfried.py`` as a
+    subcommand): N candidates in one batched DDIM call, MIoU + mask-MSE agreement vote."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from topomap_tpu.eval.siegfried import generate_best_of_n
+    from topomap_tpu.pipeline import encode_text
+
+    preset, cfg, sched, params, tok, _ = _setup(args)
+    sample_params = _maybe_restore(args, preset, cfg, params)
+    seg = np.array(Image.open(args.seg).convert("RGB").resize((args.size, args.size), Image.NEAREST))
+    ids, mask = tok.encode([args.prompt])
+    crossattn = encode_text(params, cfg, jnp.asarray(ids), jnp.asarray(mask))
+    seg_model = None
+    if args.seg_weights:
+        from topomap_tpu.models.unet_seg import SegUNetConfig
+        from topomap_tpu.utils.keras_ckpt import import_keras_seg_unet
+
+        scfg = SegUNetConfig()
+        seg_model = (import_keras_seg_unet(args.seg_weights, scfg), scfg)
+        print(f"loaded keras segmentation weights from {args.seg_weights}")
+    tile, report = generate_best_of_n(
+        sample_params, cfg, sched,
+        jnp.asarray(seg[None] / 255.0, jnp.float32), crossattn, seg_model=seg_model,
+        num_samples=args.n, steps=args.ddim_steps, scale=args.scale, seed=args.seed,
+    )
+    Image.fromarray(tile).save(args.out)
+    report_path = Path(args.out).with_suffix(".report.json")
+    with open(report_path, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"picked candidate {report['picked']} "
+          f"(avg MIoU {report['avg_miou']:.4f}, avg mask-MSE {report['avg_mask_mse']:.2f})")
+    print(f"wrote {args.out} and {report_path}")
+
+
+def cmd_compare_runs(args):
+    """A/B(/B0) run comparison (``compare_model_results.py`` as a subcommand): overlay each
+    run's filtered checkpoints on the shared base, sample the same batch/seed, write grid."""
+    import jax.numpy as jnp
+
+    from topomap_tpu.data.pairs import PairsDataset, read_pairs_jsonl
+    from topomap_tpu.eval.compare import compare_runs
+
+    preset, cfg, sched, params, tok, _ = _setup(args)
+    variants = {}
+    for spec in args.runs:
+        label, _, rest = spec.partition("=")
+        ckpt_dir, _, step = rest.rpartition(":")
+        if not ckpt_dir:
+            raise SystemExit(f"--runs entry '{spec}' must be label=dir:step")
+        variants[label] = (ckpt_dir, int(step))
+    records = read_pairs_jsonl(args.data)[: args.n]
+    ds = PairsDataset(records, size=args.size)
+    items = [ds[i] for i in range(len(ds))]
+    ids, mask = tok.encode([r.prompt for r in records])
+    batch = {
+        "seg": jnp.asarray(np.stack([it["seg"] for it in items])),
+        "gt": jnp.asarray(np.stack([it["gt"] for it in items])),
+        "ids": jnp.asarray(ids),
+        "mask": jnp.asarray(mask),
+    }
+    outputs = compare_runs(params, cfg, sched, batch, variants, out_png=args.out,
+                           steps=args.ddim_steps, scale=args.scale, seed=args.seed)
+    print(f"compared {list(outputs)} -> {args.out}")
+
+
 def cmd_make_data(args):
     from topomap_tpu.data.synthetic import generate_pairs_dataset
 
@@ -345,6 +429,8 @@ def build_parser():
     sp.add_argument("--remat", action="store_true", help="rematerialize UNet blocks (memory)")
     sp.add_argument("--scan-steps", type=int, default=1,
                     help="train steps fused per dispatch (lax.scan); amortizes dispatch overhead")
+    sp.add_argument("--prefetch", type=int, default=2,
+                    help="host->device input double-buffering depth (0 = synchronous)")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("sample")
@@ -367,6 +453,8 @@ def build_parser():
     sp.add_argument("--prompt", default="")
     sp.add_argument("--contours", default=None)
     sp.add_argument("--batch-tiles", type=int, default=4)
+    sp.add_argument("--overlap", type=int, default=0,
+                    help="overlapped-tile feathered stitching (px); 0 = reference hard seams")
     sp.add_argument("--out", default="sheet_styled.png")
     sp.set_defaults(fn=cmd_stylize_sheet)
 
@@ -376,6 +464,27 @@ def build_parser():
     sp.add_argument("--n", type=int, default=4)
     sp.add_argument("--out", default="concept_grid.png")
     sp.set_defaults(fn=cmd_grid)
+
+    sp = sub.add_parser("best-of-n")
+    common(sp)
+    # reference Siegfried eval protocol: DDIM 20, CFG 9 (evaluateCN.py:42-45)
+    sp.set_defaults(ddim_steps=20, scale=9.0)
+    sp.add_argument("--prompt", required=True)
+    sp.add_argument("--seg", required=True)
+    sp.add_argument("--n", type=int, default=6)
+    sp.add_argument("--seg-weights", default=None,
+                    help="keras .weights.h5 of the Siegfried segmentation U-Net (MIoU judge)")
+    sp.add_argument("--out", default="best_of_n.png")
+    sp.set_defaults(fn=cmd_best_of_n)
+
+    sp = sub.add_parser("compare-runs")
+    common(sp, ckpt=False)
+    sp.add_argument("--data", required=True)
+    sp.add_argument("--runs", nargs="+", required=True, metavar="LABEL=DIR:STEP",
+                    help="run variants to overlay, e.g. A=runs/a/filtered:3000")
+    sp.add_argument("--n", type=int, default=4)
+    sp.add_argument("--out", default="compare_runs.png")
+    sp.set_defaults(fn=cmd_compare_runs)
 
     sp = sub.add_parser("make-data")
     sp.add_argument("--out", required=True)

@@ -7,6 +7,7 @@ from topomap_tpu.data.pairs import (
     PairsDataset,
     RepeatDataset,
 )
+from topomap_tpu.data.prefetch import DevicePrefetcher
 from topomap_tpu.data.synthetic import SyntheticTileConfig, generate_pair, generate_pairs_dataset
 
 __all__ = [
@@ -20,4 +21,5 @@ __all__ = [
     "SyntheticTileConfig",
     "generate_pair",
     "generate_pairs_dataset",
+    "DevicePrefetcher",
 ]

@@ -23,7 +23,15 @@ import jax.numpy as jnp
 from topomap_tpu.core import DDIMConfig, DiffusionSchedule
 from topomap_tpu.lora import attach_condition
 from topomap_tpu.models.controlnet import hint_block_apply
-from topomap_tpu.ops.image import add_contour_lines, from_signed, stitch_tiles, tile_sheet, to_unit
+from topomap_tpu.ops.image import (
+    add_contour_lines,
+    from_signed,
+    stitch_tiles,
+    stitch_tiles_blend,
+    tile_sheet,
+    tile_sheet_overlap,
+    to_unit,
+)
 from topomap_tpu.pipeline import PipelineConfig, Params, encode_clip, encode_text, sample
 from topomap_tpu.text.fusion import fuse_pad
 
@@ -140,19 +148,29 @@ def stylize_sheet(
     control_scales: Optional[jnp.ndarray] = None,
     contours_u8: Optional[jnp.ndarray] = None,
     attn_fn=None,
+    overlap: int = 0,
 ) -> jnp.ndarray:
     """Stylize a whole map sheet: [H,W,3] uint8 seg → [H,W,3] uint8 stylized.
 
     ``crossattn_fn(n) -> [n,T,D]`` supplies the (shared or per-tile) conditioning.
     Device-side path: tile → batched DDIM (chunks of ``batch_tiles``) → stitch →
     optional contour compositing (``addContourLines`` semantics).
+
+    ``overlap > 0`` switches to overlapped tiling with feathered seam blending
+    (:func:`topomap_tpu.ops.image.stitch_tiles_blend`) — an improvement over the
+    reference's hard hstack/vstack seams (``stitchTiles.py:6-45``) at the cost of
+    ~``1/(1-overlap/tile)²`` more tile evaluations.
     """
     from topomap_tpu.models.attention import xla_attention
 
     attn_fn = attn_fn or xla_attention
     h, w = sheet_seg_u8.shape[:2]
     rows, cols = h // tile, w // tile
-    tiles = to_unit(tile_sheet(sheet_seg_u8, tile))  # [N,512,512,3] in [0,1]
+    if overlap > 0:
+        tiles_u8, ys, xs = tile_sheet_overlap(sheet_seg_u8, tile, overlap)
+        tiles = to_unit(tiles_u8)
+    else:
+        tiles = to_unit(tile_sheet(sheet_seg_u8, tile))  # [N,512,512,3] in [0,1]
     n = tiles.shape[0]
     ddim = DDIMConfig(num_steps=steps, guidance_scale=scale)
 
@@ -172,7 +190,11 @@ def stylize_sheet(
             attn_fn=attn_fn,
         )
         outs.append(from_signed(img))
-    stylized = stitch_tiles(jnp.concatenate(outs, axis=0), rows, cols)
+    all_tiles = jnp.concatenate(outs, axis=0)
+    if overlap > 0:
+        stylized = stitch_tiles_blend(all_tiles, ys, xs, overlap)
+    else:
+        stylized = stitch_tiles(all_tiles, rows, cols)
     if contours_u8 is not None:
         stylized = add_contour_lines(stylized, contours_u8)
     return stylized

@@ -68,6 +68,21 @@ def _maxpool(x):
     return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
 
 
+def conv_transpose_2x2(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Keras ``Conv2DTranspose(k=2, strides=2, padding='same')`` semantics: each input
+    pixel expands into an independent 2×2 output block. Implemented as a lhs-dilated conv
+    with the spatially-flipped kernel (weights stored HWIO like every other conv here)."""
+    w = p["w"][::-1, ::-1]
+    y = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype),
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + p["b"].astype(x.dtype)
+
+
 def seg_unet_apply(p: Params, cfg: SegUNetConfig, img: jnp.ndarray) -> jnp.ndarray:
     """img [B,H,W,3] in [0,1] → class logits [B,H,W,9]."""
     skips = []
@@ -78,8 +93,11 @@ def seg_unet_apply(p: Params, cfg: SegUNetConfig, img: jnp.ndarray) -> jnp.ndarr
         h = _maxpool(h)
     h = _block(p["bottleneck"], h)
     for up in p["ups"]:
-        h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
-        h = conv(up["up"], h)
+        if "upt" in up:  # keras-imported Conv2DTranspose upsampling (utils/keras_ckpt.py)
+            h = conv_transpose_2x2(up["upt"], h)
+        else:
+            h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
+            h = conv(up["up"], h)
         h = _block(up["block"], jnp.concatenate([h, skips.pop()], axis=-1))
     return conv(p["head"], h)
 

@@ -129,6 +129,83 @@ def stitch_tiles(tiles: jnp.ndarray, rows: int, cols: int) -> jnp.ndarray:
     return t.transpose(0, 2, 1, 3, 4).reshape(rows * dim, cols * dim, c)
 
 
+def overlap_positions(extent: int, dim: int, overlap: int) -> list[int]:
+    """Leading-corner offsets of overlapped tiles covering ``[0, extent)``.
+
+    Stride is ``dim - overlap``; the final tile is pinned to ``extent - dim`` so the whole
+    sheet is covered without ragged tails. With ``overlap == 0`` this reduces to the
+    disjoint grid of :func:`tile_sheet`.
+    """
+    assert 0 <= overlap < dim and extent >= dim, (extent, dim, overlap)
+    stride = dim - overlap
+    pos = list(range(0, extent - dim + 1, stride))
+    if pos[-1] != extent - dim:
+        pos.append(extent - dim)
+    return pos
+
+
+def tile_sheet_overlap(
+    sheet: jnp.ndarray, dim: int = 512, overlap: int = 64
+) -> tuple[jnp.ndarray, list[int], list[int]]:
+    """Extract overlapped ``[N, dim, dim, C]`` tiles (row-major) plus their y/x offsets.
+
+    Improvement over the reference's disjoint grid (``datasetCreation00.py:30-75``):
+    neighbouring tiles share ``overlap`` pixels so :func:`stitch_tiles_blend` can feather
+    the seams the reference simply accepts (``stitchTiles.py:6-45``).
+    """
+    h, w, _ = sheet.shape
+    ys = overlap_positions(h, dim, overlap)
+    xs = overlap_positions(w, dim, overlap)
+    tiles = jnp.stack([sheet[y : y + dim, x : x + dim] for y in ys for x in xs])
+    return tiles, ys, xs
+
+
+def _feather_1d(dim: int, overlap: int) -> jnp.ndarray:
+    """Weight profile: linear ramps over the overlap at both ends, 1 in the interior.
+
+    Never reaches zero (ramp starts at 1/(overlap+1)) so sheet-border pixels — covered by
+    a single tile — keep nonzero total weight before normalization.
+    """
+    if overlap == 0:
+        return jnp.ones((dim,), jnp.float32)
+    ramp = (jnp.arange(1, overlap + 1, dtype=jnp.float32)) / float(overlap + 1)
+    return jnp.concatenate([ramp, jnp.ones((dim - 2 * overlap,), jnp.float32), ramp[::-1]])
+
+
+def stitch_tiles_blend(
+    tiles: jnp.ndarray, ys: list[int], xs: list[int], overlap: int
+) -> jnp.ndarray:
+    """Feather-blend overlapped row-major tiles back into a ``[H, W, C]`` uint8 sheet.
+
+    Each tile carries a separable triangular weight window over its ``overlap`` margins;
+    contributions accumulate in fp32 and are normalized by the accumulated weight, which
+    linearly cross-fades every seam instead of the reference's hard hstack/vstack cuts.
+    """
+    n, dim, _, c = tiles.shape
+    assert n == len(ys) * len(xs), (tiles.shape, len(ys), len(xs))
+    h, w = ys[-1] + dim, xs[-1] + dim
+    w1d = _feather_1d(dim, overlap)
+    weight = (w1d[:, None] * w1d[None, :])[..., None]  # [dim, dim, 1]
+    offsets = jnp.asarray([(y, x) for y in ys for x in xs], jnp.int32)
+
+    def body(i, acc_num_den):
+        num, den = acc_num_den
+        y, x = offsets[i, 0], offsets[i, 1]
+        tile = tiles[i].astype(jnp.float32) * weight
+        num = jax.lax.dynamic_update_slice(
+            num, jax.lax.dynamic_slice(num, (y, x, 0), (dim, dim, c)) + tile, (y, x, 0)
+        )
+        den = jax.lax.dynamic_update_slice(
+            den, jax.lax.dynamic_slice(den, (y, x, 0), (dim, dim, 1)) + weight, (y, x, 0)
+        )
+        return num, den
+
+    num = jnp.zeros((h, w, c), jnp.float32)
+    den = jnp.zeros((h, w, 1), jnp.float32)
+    num, den = jax.lax.fori_loop(0, n, body, (num, den))
+    return jnp.clip(jnp.round(num / den), 0, 255).astype(jnp.uint8)
+
+
 # ---------------------------------------------------------------------------
 # Contour compositing
 # ---------------------------------------------------------------------------

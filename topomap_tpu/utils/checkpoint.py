@@ -22,21 +22,45 @@ import numpy as np
 Params = dict[str, Any]
 
 
+_MANAGERS: dict[str, Any] = {}
+
+
 def _mgr(directory: str | Path, max_to_keep: int = 3):
     import orbax.checkpoint as ocp
 
-    return ocp.CheckpointManager(
-        Path(directory).absolute(),
-        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
-    )
+    key = str(Path(directory).absolute())
+    if key not in _MANAGERS:
+        _MANAGERS[key] = ocp.CheckpointManager(
+            key,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
+        )
+    return _MANAGERS[key]
 
 
-def save_train_state(directory: str | Path, state, step: int, max_to_keep: int = 3) -> None:
+def save_train_state(
+    directory: str | Path, state, step: int, max_to_keep: int = 3, wait: bool = True
+) -> None:
+    """Checkpoint the TrainState. ``wait=False`` returns as soon as the on-device arrays are
+    snapshotted and lets Orbax write to disk in the background (async checkpointing) — the
+    training loop continues while serialization happens. Call :func:`wait_for_checkpoints`
+    (or the next ``wait=True`` save) before reading the files."""
     import orbax.checkpoint as ocp
 
     mgr = _mgr(directory, max_to_keep)
     mgr.save(step, args=ocp.args.StandardSave({"params": state.params, "opt_state": state.opt_state}))
-    mgr.wait_until_finished()
+    if wait:
+        mgr.wait_until_finished()
+
+
+def wait_for_checkpoints(directory: str | Path | None = None) -> None:
+    """Block until pending async checkpoint writes complete (all directories when None)."""
+    if directory is not None:
+        key = str(Path(directory).absolute())
+        if key in _MANAGERS:
+            _MANAGERS[key].wait_until_finished()
+        return
+    for mgr in _MANAGERS.values():
+        mgr.wait_until_finished()
 
 
 def restore_latest(directory: str | Path, state):
