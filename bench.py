@@ -51,6 +51,8 @@ def main():
     which_attn = os.environ.get("BENCH_ATTN", "pallas")
     if which_attn == "pallas":
         from topomap_tpu.ops.flash_attention import pallas_attention as attn_fn
+    elif which_attn == "pallas_tt":
+        from topomap_tpu.ops.flash_attention import pallas_attention_tt as attn_fn
     elif which_attn == "xla":
         from topomap_tpu.models.attention import xla_attention as attn_fn
     else:

@@ -150,3 +150,109 @@ def test_gn_silu_vjp_matches_reference():
     got = _gn_silu_diff_bwd(32, 1e-5, (scale, bias, x), g)
     for a, r in zip(got, ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=1e-5)
+
+
+def test_fused_layer_norm_matches_reference():
+    """Pallas one-pass LayerNorm (interpret mode) vs models.nn.layer_norm, several shapes
+    including non-128 channels and non-chunk-multiple token counts handled by fallback."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from topomap_tpu.models.nn import layer_norm
+    from topomap_tpu.ops.fused_norm import layer_norm_fused, ln_eligible
+
+    for shape in [(2, 64, 320), (1, 512, 96), (2, 1024, 320)]:
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(shape[-1]), 3)
+        x = jax.random.normal(k1, shape, jnp.float32) * 3 + 1
+        p = {"scale": jax.random.normal(k2, shape[-1:]) + 1.0,
+             "bias": jax.random.normal(k3, shape[-1:])}
+        ref = layer_norm(p, x)
+        out = layer_norm_fused(p, x, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+        assert ln_eligible(x)
+
+
+def test_fused_layer_norm_bf16_and_vjp():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from topomap_tpu.models.nn import layer_norm
+    from topomap_tpu.ops.fused_norm import _ln_diff_bwd, layer_norm_fused
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 256, 160), jnp.bfloat16)
+    p = {"scale": jnp.ones((160,)), "bias": jnp.zeros((160,))}
+    out = layer_norm_fused(p, x, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    ref = layer_norm(p, x)
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref, np.float32),
+                               atol=3e-2)
+
+    xf = x.astype(jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(1), xf.shape)
+    scale, bias = p["scale"], p["bias"]
+    ref_grads = jax.vjp(lambda s, b, xx: layer_norm({"scale": s, "bias": b}, xx),
+                        scale, bias, xf)[1](g)
+    got = _ln_diff_bwd(1e-5, (scale, bias, xf), g)
+    for a, b_ in zip(got, ref_grads):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "tq,tk,d",
+    [(256, 256, 40), (128, 77, 160), (100, 77, 40)],
+)
+def test_flash_tt_matches_xla(tq, tk, d):
+    """Pre-transposed kernel: inputs/outputs [B,H,Dh,T]."""
+    from topomap_tpu.ops.flash_attention import flash_attention_tt
+
+    b, h = 2, 3
+    q = _rand((b, h, tq, d), 0)
+    k = _rand((b, h, tk, d), 1)
+    v = _rand((b, h, tk, d), 2)
+    ref = xla_attention(q, k, v)
+    tt = lambda x: x.transpose(0, 1, 3, 2)
+    out_t = flash_attention_tt(tt(q), tt(k), tt(v), block_q=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(tt(out_t)), np.asarray(ref), atol=2e-5)
+
+
+def test_transposed_attention_path_in_cross_attention():
+    """cross_attention must produce identical outputs through the transposed projection
+    path (attn_fn.transposed=True) and the standard path, self- and cross-attention."""
+    from topomap_tpu.models.attention import cross_attention, cross_attention_init
+    from topomap_tpu.models.nn import KeyGen
+    from topomap_tpu.ops.flash_attention import xla_attention_tt
+
+    kg = KeyGen(jax.random.PRNGKey(0))
+    x = _rand((2, 64, 32), 1)
+    ctx = _rand((2, 16, 24), 2)
+    p_self = cross_attention_init(kg, 32, None, 4, 8)
+    p_cross = cross_attention_init(kg, 32, 24, 4, 8)
+    for p, c in [(p_self, None), (p_cross, ctx)]:
+        ref = cross_attention(p, x, c, heads=4, attn_fn=xla_attention)
+        out = cross_attention(p, x, c, heads=4, attn_fn=xla_attention_tt)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_group_norm_fused_no_silu_matches_reference():
+    from topomap_tpu.models.nn import group_norm
+    from topomap_tpu.ops.fused_norm import group_norm_fused
+
+    x = _rand((2, 8, 8, 320), 5) * 2 + 0.5
+    p = {"scale": _rand((320,), 6) + 1.0, "bias": _rand((320,), 7)}
+    ref = group_norm({"scale": p["scale"], "bias": p["bias"]}, x, 32)
+    out = group_norm_fused(p, x, 32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_gn_plain_vjp_matches_reference():
+    from topomap_tpu.ops.fused_norm import _gn_plain_bwd, _ref_gn
+
+    x = _rand((1, 4, 4, 64), 8)
+    scale, bias = _rand((64,), 9) + 1.0, _rand((64,), 10)
+    g = _rand(x.shape, 11)
+    ref = jax.vjp(lambda s, b, xx: _ref_gn(s, b, xx, 32, 1e-5), scale, bias, x)[1](g)
+    got = _gn_plain_bwd(32, 1e-5, (scale, bias, x), g)
+    for a, b_ in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)

@@ -23,8 +23,7 @@ from topomap_tpu.models.nn import (
     Params,
     dense,
     dense_init,
-    group_norm,
-    layer_norm,
+    group_norm,  # noqa: F401 — re-exported; fused variants used in the blocks below
     norm_init,
 )
 
@@ -133,6 +132,28 @@ def cross_attention(
     if delta is not None and "v2" not in tc and "add_to_output" not in tc:
         q_lora_in = x + delta  # diffusers main mode: Q-LoRA reads hidden + control
     no_qkv_lora = not any(lora.get(n) for n in ("to_q", "to_k", "to_v"))
+    # Transpose-free path (merged-LoRA inference): the attn_fn consumes/produces
+    # [B,H,Dh,T]; the projections emit that layout straight from the MXU by contracting
+    # with output order [inner, T] — no explicit transpose/copy remains on this path.
+    if getattr(attn_fn, "transposed", False) and not lora and no_qkv_lora:
+        b, tq = x.shape[0], x.shape[1]
+        if context is None:
+            wqkv = jnp.concatenate(
+                [p["to_q"]["w"], p["to_k"]["w"], p["to_v"]["w"]], axis=1
+            ).astype(x.dtype)
+            q, k, v = jnp.split(jnp.einsum("btc,ck->bkt", x, wqkv), 3, axis=1)
+        else:
+            q = jnp.einsum("btc,ck->bkt", x, p["to_q"]["w"].astype(x.dtype))
+            wkv = jnp.concatenate([p["to_k"]["w"], p["to_v"]["w"]], axis=1).astype(ctx.dtype)
+            k, v = jnp.split(jnp.einsum("btc,ck->bkt", ctx, wkv), 2, axis=1)
+        inner = q.shape[1]
+        dh = inner // heads
+        split_t = lambda t_: t_.reshape(b, heads, dh, t_.shape[-1])
+        out_t = attn_fn(split_t(q), split_t(k), split_t(v))  # [B,H,Dh,Tq]
+        out = jnp.einsum(
+            "bkt,kc->btc", out_t.reshape(b, inner, tq), p["to_out"]["w"].astype(x.dtype)
+        ) + p["to_out"]["b"].astype(x.dtype)
+        return out
     if context is None and no_qkv_lora:
         # Fused self-attention QKV: one [C,3C] matmul instead of three (inference path —
         # LoRA deltas are merged into the weights before sampling). The concat is
@@ -180,7 +201,11 @@ def feed_forward(p: Params, x: jnp.ndarray, lora: Optional[Params] = None) -> jn
     lora = lora or {}
     h = lora_dense(p["proj_in"], x, lora.get("proj_in"))
     h, gate = jnp.split(h, 2, axis=-1)
-    h = h * jax.nn.gelu(gate, approximate=False)
+    # LDM GEGLU uses exact-erf gelu; under bf16 the tanh approximation's error (<3e-3
+    # absolute) is below bf16 resolution while erf made the FF epilogue VPU-bound on TPU
+    # (trace: the [B,4096,2560] gelu+proj_out fusion ran at 1/3 of HBM speed).
+    approx = gate.dtype == jnp.bfloat16
+    h = h * jax.nn.gelu(gate, approximate=approx)
     return lora_dense(p["proj_out"], h, lora.get("proj_out"))
 
 
@@ -210,14 +235,16 @@ def transformer_block(
     lora: Optional[Params] = None,
     attn_fn: AttnFn = xla_attention,
 ) -> jnp.ndarray:
+    from topomap_tpu.ops.fused_norm import layer_norm_fused
+
     lora = lora or {}
     x = x + cross_attention(
-        p["attn1"], layer_norm(p["norm1"], x), None, heads, lora.get("attn1"), attn_fn
+        p["attn1"], layer_norm_fused(p["norm1"], x), None, heads, lora.get("attn1"), attn_fn
     )
     x = x + cross_attention(
-        p["attn2"], layer_norm(p["norm2"], x), context, heads, lora.get("attn2"), attn_fn
+        p["attn2"], layer_norm_fused(p["norm2"], x), context, heads, lora.get("attn2"), attn_fn
     )
-    x = x + feed_forward(p["ff"], layer_norm(p["norm3"], x), lora.get("ff"))
+    x = x + feed_forward(p["ff"], layer_norm_fused(p["norm3"], x), lora.get("ff"))
     return x
 
 
@@ -245,10 +272,12 @@ def spatial_transformer(
     attn_fn: AttnFn = xla_attention,
 ) -> jnp.ndarray:
     """x: [B, H, W, C] NHWC; context: [B, Tk, Dc]. Residual like LDM SpatialTransformer."""
+    from topomap_tpu.ops.fused_norm import group_norm_fused
+
     b, h, w, c = x.shape
     lora = lora or {}
     x_in = x
-    y = group_norm(p["norm"], x)
+    y = group_norm_fused(p["norm"], x)
     y = y.reshape(b, h * w, c)
     y = dense(p["proj_in"], y)
     blocks_lora = lora.get("blocks", {})

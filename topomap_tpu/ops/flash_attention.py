@@ -123,13 +123,15 @@ def _attn_kernel_t(qt_ref, kt_ref, vt_ref, ot_ref, *, scale: float):
         kt, qt, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
     m = jnp.max(logits_t, axis=0, keepdims=True)
-    p = jnp.exp(logits_t - m)
-    denom = jnp.sum(p, axis=0, keepdims=True)
-    p = (p / denom).astype(vt.dtype)    # [tk, blk_q]
-    # oT [dh_pad, blk_q] = vT · probsT  (contract tk: lanes of vT, sublanes of probsT)
-    ot_ref[0] = jax.lax.dot_general(
+    p = jnp.exp(logits_t - m).astype(vt.dtype)  # UN-normalized probs [tk, blk_q]
+    denom = jnp.sum(p.astype(jnp.float32), axis=0, keepdims=True)
+    # oT [dh_pad, blk_q] = vT · probsT  (contract tk: lanes of vT, sublanes of probsT).
+    # Normalization happens on the [dh, blk] OUTPUT (tiny) instead of the [tk, blk]
+    # probability block — saves a full VPU pass over T_k×blk elements per block.
+    ot = jax.lax.dot_general(
         vt, p, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(ot_ref.dtype)
+    )
+    ot_ref[0] = (ot / denom).astype(ot_ref.dtype)
 
 
 def flash_attention_t(
@@ -291,6 +293,114 @@ def flash_attention_t_bwd(q, k, v, g, block_q: int = 256, interpret: bool = Fals
     )
 
 
+def flash_attention_tt(
+    qt: jnp.ndarray,
+    kt: jnp.ndarray,
+    vt: jnp.ndarray,
+    block_q: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pre-transposed fused attention: qt [B,H,Dh,Tq], kt/vt [B,H,Dh,Tk] → ot [B,H,Dh,Tq].
+
+    Same kernel as :func:`flash_attention_t` but the caller supplies (and receives) the
+    transposed layout directly — produced for free by computing the QKV projections with
+    output dims [dh, T] (``einsum('btc,ck->bkt')``) and consumed for free by the output
+    projection (``einsum('bkt,kc->btc')``). No explicit transpose op remains anywhere on
+    the attention path (they were ~12% of device time as HBM layout copies)."""
+    b, h, d, tq = qt.shape
+    tk = kt.shape[3]
+    scale = d**-0.5
+    sub = 8
+
+    need_mask = (tk % _LANE) != 0
+    d_pad = _round_up(d + (1 if need_mask else 0), sub)
+    tk_pad = _round_up(tk, _LANE)
+    blk_q = min(block_q, _round_up(tq, _LANE))
+    tq_pad = _round_up(tq, blk_q)
+
+    qp = jnp.pad(qt.reshape(b * h, d, tq), ((0, 0), (0, d_pad - d), (0, tq_pad - tq)))
+    kp = jnp.pad(kt.reshape(b * h, d, tk), ((0, 0), (0, d_pad - d), (0, tk_pad - tk)))
+    vp = jnp.pad(vt.reshape(b * h, d, tk), ((0, 0), (0, d_pad - d), (0, tk_pad - tk)))
+    if need_mask:
+        qp = qp.at[:, d, :tq].set(1.0)
+        kp = kp.at[:, d, tk:].set(-1e9 / scale)
+
+    grid = (b * h, tq_pad // blk_q)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel_t, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, d_pad, blk_q), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_pad, tk_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_pad, tk_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, d_pad, blk_q), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, d_pad, tq_pad), qt.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * h * tq_pad * tk_pad * d_pad,
+            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
+            transcendentals=b * h * tq_pad * tk_pad,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :d, :tq].reshape(b, h, d, tq)
+
+
+def xla_attention_tt(qt: jnp.ndarray, kt: jnp.ndarray, vt: jnp.ndarray) -> jnp.ndarray:
+    """XLA einsum attention on the transposed layout (small-T routing)."""
+    d = qt.shape[2]
+    scale = d**-0.5
+    logits = jnp.einsum("bhdq,bhdk->bhqk", qt, kt, preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(vt.dtype)
+    return jnp.einsum("bhqk,bhdk->bhdq", probs, vt)
+
+
+@jax.custom_vjp
+def _flash_tt_diff(qt, kt, vt):
+    return flash_attention_tt(qt, kt, vt)
+
+
+def _flash_tt_fwd(qt, kt, vt):
+    return flash_attention_tt(qt, kt, vt), (qt, kt, vt)
+
+
+def _flash_tt_bwd(res, g):
+    # The transposed-layout backward kernel works in this layout natively: move H into the
+    # batch dim of the [BH, d, T] blocks it expects.
+    qt, kt, vt = res
+    b, h, d, tq = qt.shape
+    tk = kt.shape[3]
+    as_bhtd = lambda x, t: x.reshape(b * h, d, t).transpose(0, 2, 1).reshape(b, h, t, d)
+    dq, dk, dv = flash_attention_t_bwd(
+        as_bhtd(qt, tq), as_bhtd(kt, tk), as_bhtd(vt, tk), as_bhtd(g, tq)
+    )
+    back = lambda x, t: x.reshape(b * h, t, d).transpose(0, 2, 1).reshape(b, h, d, t)
+    return back(dq, tq), back(dk, tk), back(dv, tk)
+
+
+_flash_tt_diff.defvjp(_flash_tt_fwd, _flash_tt_bwd)
+
+
+def pallas_attention_tt(qt, kt, vt):
+    """Transposed-layout ``AttnFn`` (marked ``transposed=True`` — the projection code in
+    ``models.attention`` feeds/consumes [B,H,Dh,T] directly). Hybrid small-T routing like
+    :func:`pallas_attention`."""
+    if qt.shape[3] < 512:
+        return xla_attention_tt(qt, kt, vt)
+    return _flash_tt_diff(qt, kt, vt)
+
+
+pallas_attention_tt.transposed = True
+xla_attention_tt.transposed = True
+
+
+def pallas_attention_tt_interpret(qt, kt, vt):
+    return flash_attention_tt(qt, kt, vt, interpret=True)
+
+
+pallas_attention_tt_interpret.transposed = True
+
+
 @jax.custom_vjp
 def _flash_t_diff(q, k, v):
     return flash_attention_t(q, k, v)
@@ -351,6 +461,8 @@ def best_attention_fn():
         return xla_attention
     if choice == "pallas":
         return pallas_attention
+    if choice == "pallas_tt":
+        return pallas_attention_tt
     try:
         platform = jax.devices()[0].platform
     except Exception:
