@@ -47,7 +47,9 @@ def main():
     ctx_dim = cfg.unet.context_dim
     sched = make_schedule(cfg.num_train_timesteps)
     cfg_interval = int(os.environ.get("BENCH_CFG_INTERVAL", "1"))
-    ddim = DDIMConfig(num_steps=steps, guidance_scale=7.5, eta=0.0, cfg_interval=cfg_interval)
+    dc_interval = int(os.environ.get("BENCH_DEEP_CACHE", "1"))
+    ddim = DDIMConfig(num_steps=steps, guidance_scale=7.5, eta=0.0, cfg_interval=cfg_interval,
+                      deep_cache_interval=dc_interval)
     which_attn = os.environ.get("BENCH_ATTN", "pallas")
     if which_attn == "pallas":
         from topomap_tpu.ops.flash_attention import pallas_attention as attn_fn
@@ -114,7 +116,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"stylized {size}x{size} tiles/sec/chip @ {steps} DDIM steps (SD1.5+ControlNet, CFG{'' if cfg_interval == 1 else f'-lazy{cfg_interval}'}, bf16)",
+                "metric": f"stylized {size}x{size} tiles/sec/chip @ {steps} DDIM steps (SD1.5+ControlNet, CFG{'' if cfg_interval == 1 else f'-lazy{cfg_interval}'}{'' if dc_interval == 1 else f', deepcache-{dc_interval}'}, bf16)",
                 "value": round(tiles_per_sec, 4),
                 "unit": "tiles/sec/chip",
                 "vs_baseline": round(tiles_per_sec / 8.0, 4),

@@ -129,3 +129,50 @@ def test_stylize_sheet_overlap_blend():
         tile=32, steps=2, batch_tiles=2, overlap=16,
     )
     assert out.shape == (32, 64, 3) and out.dtype == jnp.uint8
+
+
+def test_apply_model_cached_refresh_matches_exact():
+    """refresh=True must reproduce apply_model bit-for-bit (same math, split execution)."""
+    import jax.numpy as jnp
+
+    from topomap_tpu.pipeline import apply_model, apply_model_cached, deep_cache_shape
+
+    params = _params()
+    tok, _ = make_tokenizers(CFG)
+    ids, mask = tok.encode(["Set Lake color to navy blue", "Render Road as dashed"])
+    c = encode_text(params, CFG, jnp.asarray(ids), jnp.asarray(mask))
+    z = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 4))
+    t = jnp.asarray([100, 700], jnp.int32)
+    cond = {"crossattn": c, "concat": jnp.zeros((2, 32, 32, 3))}
+    ref = apply_model(params, CFG, z, t, cond)
+    cache0 = {"h_deep": jnp.zeros(deep_cache_shape(CFG, 2, (16, 16)), CFG.compute_dtype)}
+    eps, cache = apply_model_cached(params, CFG, z, t, cond, cache0, refresh=jnp.asarray(True))
+    np.testing.assert_allclose(np.asarray(eps), np.asarray(ref), atol=1e-5)
+    assert cache["h_deep"].shape == cache0["h_deep"].shape
+    assert not np.allclose(np.asarray(cache["h_deep"]), 0)
+
+    # reuse step: stale cache + refresh=False gives a DIFFERENT (approximate) eps, finite
+    eps2, cache2 = apply_model_cached(
+        params, CFG, z, t + 1, cond, cache, refresh=jnp.asarray(False)
+    )
+    np.testing.assert_array_equal(np.asarray(cache2["h_deep"]), np.asarray(cache["h_deep"]))
+    assert np.isfinite(np.asarray(eps2)).all()
+
+
+def test_sample_with_deep_cache_interval():
+    import jax.numpy as jnp
+
+    from topomap_tpu.core import DDIMConfig
+
+    params = _params()
+    tok, _ = make_tokenizers(CFG)
+    ids, mask = tok.encode(["Set Forest color to dark green"])
+    c = encode_text(params, CFG, jnp.asarray(ids), jnp.asarray(mask))
+    seg = jnp.zeros((1, 32, 32, 3))
+    exact = sample(params, CFG, SCHED, DDIMConfig(4, 7.5), jax.random.PRNGKey(0), seg, c)
+    dc = sample(params, CFG, SCHED, DDIMConfig(4, 7.5, deep_cache_interval=2),
+                jax.random.PRNGKey(0), seg, c)
+    assert dc.shape == exact.shape and np.isfinite(np.asarray(dc)).all()
+    # interval 2 refreshes on steps 0 and 2; steps 1/3 reuse → differs from exact but stays
+    # in the same range on the tiny model
+    assert float(jnp.abs(dc - exact).mean()) < 1.0

@@ -37,6 +37,10 @@ class DDIMConfig:
     # cf. "Faster Diffusion" arXiv:2312.09608). 1 = exact reference CFG; 2 cuts model
     # evaluations by 25%.
     cfg_interval: int = 1
+    # Opt-in DeepCache (arXiv:2312.00858): re-run the deep UNet+ControlNet trunk only every
+    # k-th step, recomputing just the full-resolution level in between. 1 = exact. Requires
+    # the caller to pass `denoise_cached`/`cache0` to ddim_sample (pipeline.sample does).
+    deep_cache_interval: int = 1
 
 
 def guess_mode_control_scales(strength: float = 1.0, n: int = 13) -> jnp.ndarray:
@@ -74,6 +78,8 @@ def ddim_sample(
     cond: Any,
     uncond: Any,
     x_T: jnp.ndarray | None = None,
+    denoise_cached=None,
+    cache0: Any = None,
 ) -> jnp.ndarray:
     """Sample latents ``x_0`` of ``shape`` = [B, H, W, C] with classifier-free guidance.
 
@@ -92,6 +98,46 @@ def ddim_sample(
 
     if cfg.parallel_cfg:
         cond2 = jax.tree.map(lambda c, u: jnp.concatenate([c, u], axis=0), cond, uncond)
+
+    if cfg.deep_cache_interval > 1:
+        # DeepCache mode: denoise_cached(x, t, cond, cache, refresh) -> (eps, cache).
+        # Supported with the 2B-batched parallel CFG (or no guidance); orthogonal lazy-CFG
+        # is not combined with it.
+        assert denoise_cached is not None and cache0 is not None, (
+            "deep_cache_interval > 1 needs denoise_cached/cache0 (see pipeline.sample)"
+        )
+        assert cfg.cfg_interval == 1, "deep_cache_interval and cfg_interval are exclusive"
+        assert cfg.guidance_scale == 1.0 or cfg.parallel_cfg, (
+            "deep cache with guidance needs parallel_cfg"
+        )
+
+        def step_dc(carry, idx):
+            x_t, cache, step_rng = carry
+            i = cfg.num_steps - 1 - idx
+            a_t, a_prev, sigma = alphas[i], alphas_prev[i], sigmas[i]
+            refresh = (idx % cfg.deep_cache_interval) == 0
+            t_b = jnp.full((b,), ts[i], jnp.int32)
+            if cfg.guidance_scale == 1.0:
+                eps, cache = denoise_cached(x_t, t_b, cond, cache, refresh)
+            else:
+                eps2, cache = denoise_cached(
+                    jnp.concatenate([x_t, x_t], axis=0),
+                    jnp.concatenate([t_b, t_b], axis=0),
+                    cond2,
+                    cache,
+                    refresh,
+                )
+                eps_c, eps_u = eps2[:b], eps2[b:]
+                eps = eps_u + cfg.guidance_scale * (eps_c - eps_u)
+            pred_x0 = (x_t - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
+            dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma**2, 0.0)) * eps
+            step_rng, noise_rng = jax.random.split(step_rng)
+            noise = sigma * jax.random.normal(noise_rng, x_t.shape, x_t.dtype)
+            x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
+            return (x_prev, cache, step_rng), None
+
+        (x, _, _), _ = jax.lax.scan(step_dc, (x, cache0, rng), jnp.arange(cfg.num_steps))
+        return x
 
     def model_eps(x_t, t_scalar, eps_u_prev, refresh):
         """Returns (guided eps, eps_u for the carry)."""

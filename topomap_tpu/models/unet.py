@@ -128,6 +128,14 @@ def unet_encoder_init(kg: KeyGen, cfg: UNetConfig, emb_dim: int) -> tuple[Params
     return {"blocks": blocks}, skips
 
 
+def shallow_split(cfg: UNetConfig) -> tuple[int, int]:
+    """(encoder blocks at the full-latent-resolution level incl conv_in,
+    decoder blocks at that level). The deep-cache boundary (DeepCache, arXiv:2312.00858):
+    everything between — deeper encoder levels, middle, deeper decoder — is cached across
+    DDIM steps while the level-0 blocks recompute every step."""
+    return 1 + cfg.num_res_blocks, cfg.num_res_blocks + 1
+
+
 def unet_encoder_apply(
     p: Params,
     cfg: UNetConfig,
@@ -138,8 +146,11 @@ def unet_encoder_apply(
     attn_fn: AttnFn = xla_attention,
     extra_first: Optional[jnp.ndarray] = None,
     remat: bool = False,
+    start: int = 0,
+    stop: Optional[int] = None,
 ) -> list[jnp.ndarray]:
-    """Run input_blocks, returning the list of skip activations (one per block).
+    """Run input_blocks ``[start:stop)``, returning the list of skip activations (one per
+    block run). With ``start > 0``, ``x`` is the running hidden state entering that block.
 
     ``extra_first`` is the ControlNet hint-block output added after conv_in.
     ``remat=True`` checkpoints each res+attn block (activations recomputed in backward) —
@@ -159,9 +170,12 @@ def unet_encoder_apply(
     if remat:
         res_attn = jax.checkpoint(res_attn)
 
+    blocks = p["blocks"]
+    stop = len(blocks) if stop is None else stop
     hs = []
     h = x
-    for i, bp in enumerate(p["blocks"]):
+    for i in range(start, stop):
+        bp = blocks[i]
         if "conv_in" in bp:
             h = conv(bp["conv_in"], h)
             if extra_first is not None:
@@ -241,6 +255,55 @@ def _upsample(h: jnp.ndarray) -> jnp.ndarray:
     return h
 
 
+def unet_time_embed(p: Params, cfg: UNetConfig, t: jnp.ndarray, compute_dtype=jnp.float32):
+    temb = timestep_embedding(t, cfg.model_channels)
+    return dense(p["time_embed"]["fc2"], silu(dense(p["time_embed"]["fc1"], temb))).astype(
+        compute_dtype
+    )
+
+
+def unet_decoder_apply(
+    p: Params,
+    cfg: UNetConfig,
+    h: jnp.ndarray,
+    hs: list[jnp.ndarray],
+    emb: jnp.ndarray,
+    context: jnp.ndarray,
+    lora: Optional[Params] = None,
+    attn_fn: AttnFn = xla_attention,
+    remat: bool = False,
+    start: int = 0,
+    stop: Optional[int] = None,
+) -> jnp.ndarray:
+    """Run output_blocks ``[start:stop)``; consumes skips from the END of ``hs`` (popped).
+    Returns the running hidden state (callers apply the out norm/conv head)."""
+    lora = lora or {}
+
+    def dec_block(bp, bl, h, skip, emb, context):
+        h = jnp.concatenate([h, skip], axis=-1)
+        h = resblock(bp["res"], h, emb)
+        if "attn" in bp:
+            h = spatial_transformer(
+                bp["attn"], h, context, cfg.num_heads,
+                None if bl is None else bl.get("attn"), attn_fn,
+            )
+        return h
+
+    if remat:
+        dec_block = jax.checkpoint(dec_block)
+
+    hs = list(hs)
+    dec_lora = lora.get("blocks", {})  # takes the DECODER subtree, like encoder_apply
+    blocks = p["blocks"]
+    stop = len(blocks) if stop is None else stop
+    for i in range(start, stop):
+        bp = blocks[i]
+        h = dec_block(bp, _idx(dec_lora, i), h, hs.pop(), emb, context)
+        if "up" in bp:
+            h = conv(bp["up"], _upsample(h))
+    return h
+
+
 def unet_apply(
     p: Params,
     cfg: UNetConfig,
@@ -263,9 +326,7 @@ def unet_apply(
     lora = lora or {}
     x = x.astype(compute_dtype)
     context = context.astype(compute_dtype)
-    temb = timestep_embedding(t, cfg.model_channels)
-    emb = dense(p["time_embed"]["fc2"], silu(dense(p["time_embed"]["fc1"], temb)))
-    emb = emb.astype(compute_dtype)
+    emb = unet_time_embed(p, cfg, t, compute_dtype)
 
     hs = unet_encoder_apply(
         p["encoder"], cfg, x, emb, context, lora.get("encoder"), attn_fn, remat=remat
@@ -276,23 +337,8 @@ def unet_apply(
         h = h + control[-1].astype(h.dtype)
         hs = [s + c.astype(s.dtype) for s, c in zip(hs, control[:-1])]
 
-    def dec_block(bp, bl, h, skip, emb, context):
-        h = jnp.concatenate([h, skip], axis=-1)
-        h = resblock(bp["res"], h, emb)
-        if "attn" in bp:
-            h = spatial_transformer(
-                bp["attn"], h, context, cfg.num_heads,
-                None if bl is None else bl.get("attn"), attn_fn,
-            )
-        return h
-
-    if remat:
-        dec_block = jax.checkpoint(dec_block)
-
-    dec_lora = (lora.get("decoder") or {}).get("blocks", {})
-    for i, bp in enumerate(p["decoder"]["blocks"]):
-        h = dec_block(bp, _idx(dec_lora, i), h, hs.pop(), emb, context)
-        if "up" in bp:
-            h = conv(bp["up"], _upsample(h))
+    h = unet_decoder_apply(
+        p["decoder"], cfg, h, hs, emb, context, lora.get("decoder"), attn_fn, remat=remat
+    )
     h = group_norm_silu(p["out_norm"], h)
     return conv(p["out_conv"], h).astype(jnp.float32)

@@ -240,6 +240,115 @@ def apply_model(
     )
 
 
+def deep_cache_shape(cfg: PipelineConfig, batch: int, latent_hw: tuple[int, int]):
+    """Shape of the deep-cache carry: the hidden state entering the level-0 decoder blocks
+    (just after the level-1 'up' conv) — [B, h, w, model_channels·channel_mult[1]]."""
+    u = cfg.unet
+    assert len(u.channel_mult) >= 2, "deep cache needs at least one downsample level"
+    c = u.model_channels * u.channel_mult[1]
+    return (batch, latent_hw[0], latent_hw[1], c)
+
+
+def apply_model_cached(
+    params: Params,
+    cfg: PipelineConfig,
+    z_noisy: jnp.ndarray,
+    t: jnp.ndarray,
+    cond: dict[str, jnp.ndarray],
+    cache: Params,
+    refresh,
+    control_scales: Optional[jnp.ndarray] = None,
+    attn_fn: AttnFn = xla_attention,
+) -> tuple[jnp.ndarray, Params]:
+    """DeepCache-style eps prediction (arXiv:2312.00858, opt-in; see
+    ``DDIMConfig.deep_cache_interval``): on ``refresh`` steps the FULL UNet+ControlNet run
+    and the deep trunk output (everything below the full-latent-resolution level, of both
+    networks) is stored in ``cache``; on reuse steps only the level-0 encoder/decoder
+    blocks of the UNet and the level-0 ControlNet branch recompute (the parts that consume
+    the fresh ``x_t``), re-using the cached trunk. Exactness: ``refresh=True`` every step
+    reproduces :func:`apply_model` bit-for-bit.
+    """
+    from topomap_tpu.models.controlnet import hint_block_apply
+    from topomap_tpu.models.nn import conv
+    from topomap_tpu.models.unet import (
+        shallow_split,
+        unet_decoder_apply,
+        unet_encoder_apply,
+        unet_middle_apply,
+        unet_time_embed,
+    )
+    from topomap_tpu.ops.fused_norm import group_norm_silu
+
+    ucfg = cfg.unet
+    cd = cfg.compute_dtype
+    n_enc_sh, n_dec_sh = shallow_split(ucfg)
+    up, cp = params["unet"], params["controlnet"]
+    ul = params.get("unet_lora") or {}
+    cl = params.get("ctrl_lora") or {}
+    z = z_noisy.astype(cd)
+    ctx = cond["crossattn"].astype(cd)
+    hint = cond["concat"].astype(cd)
+
+    u_emb = unet_time_embed(up, ucfg, t, cd)
+    c_emb = unet_time_embed(cp, ucfg, t, cd)
+
+    def scale(i, o):
+        return o if control_scales is None else o * control_scales[i].astype(o.dtype)
+
+    # --- every step: level-0 branches of both networks ---
+    guided = hint_block_apply(cp["input_hint_block"], hint, cfg.vae.downscale)
+    c_hs_sh = unet_encoder_apply(
+        cp["encoder"], ucfg, z, c_emb, ctx, cl.get("encoder"), attn_fn,
+        extra_first=guided, stop=n_enc_sh,
+    )
+    ctrl_sh = [scale(i, conv(cp["zero_convs"][i], s)) for i, s in enumerate(c_hs_sh)]
+    u_hs_sh = unet_encoder_apply(
+        up["encoder"], ucfg, z, u_emb, ctx, ul.get("encoder"), attn_fn, stop=n_enc_sh
+    )
+
+    n_dec_total = len(up["decoder"]["blocks"])
+
+    def deep(_):
+        c_hs_dp = unet_encoder_apply(
+            cp["encoder"], ucfg, c_hs_sh[-1], c_emb, ctx, cl.get("encoder"), attn_fn,
+            start=n_enc_sh,
+        )
+        c_mid = unet_middle_apply(
+            cp["middle"], ucfg, c_hs_dp[-1], c_emb, ctx, cl.get("middle"), attn_fn
+        )
+        ctrl_dp = [
+            scale(n_enc_sh + i, conv(cp["zero_convs"][n_enc_sh + i], s))
+            for i, s in enumerate(c_hs_dp)
+        ]
+        ctrl_mid = scale(n_enc_sh + len(c_hs_dp), conv(cp["middle_block_out"], c_mid))
+
+        u_hs_dp = unet_encoder_apply(
+            up["encoder"], ucfg, u_hs_sh[-1], u_emb, ctx, ul.get("encoder"), attn_fn,
+            start=n_enc_sh,
+        )
+        u_mid = unet_middle_apply(
+            up["middle"], ucfg, u_hs_dp[-1], u_emb, ctx, ul.get("middle"), attn_fn
+        )
+        u_mid = u_mid + ctrl_mid.astype(u_mid.dtype)
+        u_hs_dp = [s + c.astype(s.dtype) for s, c in zip(u_hs_dp, ctrl_dp)]
+        h_deep = unet_decoder_apply(
+            up["decoder"], ucfg, u_mid, u_hs_dp, u_emb, ctx, ul.get("decoder"), attn_fn,
+            stop=n_dec_total - n_dec_sh,
+        )
+        return {"h_deep": h_deep.astype(cd)}
+
+    cache = jax.lax.cond(refresh, deep, lambda _: cache, None)
+
+    u_hs_sh2 = [s + c.astype(s.dtype) for s, c in zip(u_hs_sh, ctrl_sh)]
+    h = unet_decoder_apply(
+        up["decoder"], ucfg, cache["h_deep"], u_hs_sh2, u_emb, ctx, ul.get("decoder"),
+        attn_fn, start=n_dec_total - n_dec_sh,
+    )
+    h = group_norm_silu(up["out_norm"], h)
+    eps = conv(up["out_conv"], h).astype(jnp.float32)
+    return eps, cache
+
+
 def encode_image(params: Params, cfg: PipelineConfig, rng, img: jnp.ndarray) -> jnp.ndarray:
     """``get_first_stage_encoding(encode_first_stage(img))`` — [B,H,W,3] in [−1,1] → scaled latent."""
     mean, logvar = vae_encode(params["vae"], cfg.vae, img)
@@ -283,5 +392,18 @@ def sample(
     )
     cond = {"crossattn": crossattn, "concat": seg}
     uncond = {"crossattn": uncond_crossattn, "concat": seg}
-    z0 = ddim_sample(denoise, sched, ddim, rng, shape, cond, uncond)
+    denoise_cached = cache0 = None
+    if ddim.deep_cache_interval > 1:
+        denoise_cached = lambda z, t, c, cache, refresh: apply_model_cached(
+            params, cfg, z, t, c, cache, refresh,
+            control_scales=control_scales, attn_fn=attn_fn,
+        )
+        cb = b if ddim.guidance_scale == 1.0 else 2 * b
+        cache0 = {
+            "h_deep": jnp.zeros(
+                deep_cache_shape(cfg, cb, (shape[1], shape[2])), cfg.compute_dtype
+            )
+        }
+    z0 = ddim_sample(denoise, sched, ddim, rng, shape, cond, uncond,
+                     denoise_cached=denoise_cached, cache0=cache0)
     return decode_latent(params, cfg, z0, decode_dtype) if decode else z0
