@@ -92,9 +92,19 @@ def main():
 
     decode_dtype = _jnp.bfloat16 if os.environ.get("BENCH_DECODE_BF16", "1") == "1" else _jnp.float32
 
-    def run(params, rng):
-        return sample(params, cfg, sched, ddim, rng, seg, context, attn_fn=attn_fn,
-                      decode_dtype=decode_dtype)
+    # BENCH_SAMPLER=consistency: few-step distilled-student throughput (CFG-free, single
+    # model eval per step — topomap_tpu.core.consistency; train with `topomap distill`).
+    sampler = os.environ.get("BENCH_SAMPLER", "ddim")
+    if sampler == "consistency":
+        from topomap_tpu.pipeline import sample_consistency
+
+        def run(params, rng):
+            return sample_consistency(params, cfg, sched, steps, rng, seg, context,
+                                      attn_fn=attn_fn, decode_dtype=decode_dtype)
+    else:
+        def run(params, rng):
+            return sample(params, cfg, sched, ddim, rng, seg, context, attn_fn=attn_fn,
+                          decode_dtype=decode_dtype)
 
     run_jit = jax.jit(run)
     print("bench: compiling...", file=sys.stderr, flush=True)
@@ -116,7 +126,11 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"stylized {size}x{size} tiles/sec/chip @ {steps} DDIM steps (SD1.5+ControlNet, CFG{'' if cfg_interval == 1 else f'-lazy{cfg_interval}'}{'' if dc_interval == 1 else f', deepcache-{dc_interval}'}, bf16)",
+                "metric": (
+                    f"stylized {size}x{size} tiles/sec/chip @ {steps} consistency-student steps (SD1.5+ControlNet, CFG-free, bf16)"
+                    if sampler == "consistency"
+                    else f"stylized {size}x{size} tiles/sec/chip @ {steps} DDIM steps (SD1.5+ControlNet, CFG{'' if cfg_interval == 1 else f'-lazy{cfg_interval}'}{'' if dc_interval == 1 else f', deepcache-{dc_interval}'}, bf16)"
+                ),
                 "value": round(tiles_per_sec, 4),
                 "unit": "tiles/sec/chip",
                 "vs_baseline": round(tiles_per_sec / 8.0, 4),

@@ -187,6 +187,7 @@ def cmd_train(args):
 
 
 def cmd_sample(args):
+    import jax
     import jax.numpy as jnp
     from PIL import Image
 
@@ -195,6 +196,14 @@ def cmd_sample(args):
 
     preset, cfg, sched, params, tok, _ = _setup(args)
     params = _maybe_restore(args, preset, cfg, params)
+    sampler = args.sampler
+    if getattr(args, "distill_ckpt", None):
+        params, meta = _load_distill(args.distill_ckpt, params, cfg)
+        if meta.get("mode") == "consistency":
+            sampler = "consistency"
+        elif sampler == "ddim":
+            args.scale = 1.0  # guidance-distilled student: single-eval DDIM
+        print(f"distilled student ({meta.get('mode')}, w={meta.get('guidance_scale')})")
     seg = np.array(Image.open(args.seg).convert("RGB").resize((args.size, args.size), Image.NEAREST))
     ids, mask = tok.encode([args.prompt])
     batch = {
@@ -202,11 +211,110 @@ def cmd_sample(args):
         "ids": jnp.asarray(ids),
         "mask": jnp.asarray(mask),
     }
-    img = sample_preview(params, cfg, sched, batch, steps=args.ddim_steps, scale=args.scale,
-                         seed=args.seed)
+    if sampler == "consistency":
+        from topomap_tpu.pipeline import encode_text, sample_consistency
+
+        c = encode_text(params, cfg, batch["ids"], batch["mask"])
+        img = sample_consistency(params, cfg, sched, args.ddim_steps,
+                                 jax.random.PRNGKey(args.seed), batch["seg"], c)
+    else:
+        img = sample_preview(params, cfg, sched, batch, steps=args.ddim_steps,
+                             scale=args.scale, seed=args.seed,
+                             cfg_interval=getattr(args, "cfg_interval", 1),
+                             deep_cache_interval=getattr(args, "deep_cache", 1))
     out_img = np.asarray(from_signed(img[0]))
     Image.fromarray(out_img).save(args.out)
     print(f"wrote {args.out}")
+
+
+def _load_distill(distill_dir, params, cfg):
+    """Overlay a distill run's student adapters: merged trunk + fresh LoRA trees populated
+    from the saved npz files."""
+    import jax
+
+    from topomap_tpu.lora import LoRASpec, build_lora_tree
+    from topomap_tpu.utils.checkpoint import load_filtered
+
+    d = Path(distill_dir)
+    meta = json.loads((d / "distill_meta.json").read_text())
+    spec = LoRASpec.qkvo(meta["rank"])
+    params = dict(params)
+    params["unet_lora"] = build_lora_tree(params["unet"], spec, jax.random.PRNGKey(0))
+    params["ctrl_lora"] = build_lora_tree(params["controlnet"], spec, jax.random.PRNGKey(1))
+    step = meta["step"]
+    for coll in ("unet_lora", "ctrl_lora"):
+        params = load_filtered(params, d / f"{coll}_step{step}.npz", coll)
+    return params, meta
+
+
+def cmd_distill(args):
+    import jax
+
+    from topomap_tpu.data.pairs import PairsDataset, read_pairs_jsonl, stratified_split_ratio
+    from topomap_tpu.train.distill import (
+        DistillConfig,
+        init_distill_state,
+        make_distill_step,
+        prepare_student,
+    )
+    from topomap_tpu.lora import LoRASpec
+    from topomap_tpu.train.optim import OptimConfig, build_optimizer
+    from topomap_tpu.train.trainer import MeterEMA
+    from topomap_tpu.utils.checkpoint import _flatten
+
+    preset, cfg, sched, params, tok, _ = _setup(args)
+    params = _maybe_restore(args, preset, cfg, params)  # teacher = trained, LoRA-merged model
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    dcfg = DistillConfig(mode=args.mode, lora=LoRASpec.qkvo(args.rank),
+                         teacher_steps=args.teacher_steps)
+    params = prepare_student(params, cfg, dcfg, jax.random.PRNGKey(preset.seed + 7))
+    tx, part = build_optimizer(
+        params, OptimConfig("distill", total_steps=args.steps, warmup=max(1, args.steps // 20))
+    )
+    state = init_distill_state(params, tx, part)
+    step_fn = jax.jit(make_distill_step(cfg, sched, tx, part, dcfg))
+
+    records = read_pairs_jsonl(args.data)
+    train_recs, _, _ = stratified_split_ratio(records, shuffle_seed=preset.seed)
+    ds = PairsDataset(train_recs or records, size=args.size)
+    batch_size = args.batch or preset.batch_size
+    print(f"distill[{args.mode}]: {len(ds)} tiles, batch {batch_size}, {args.steps} steps")
+
+    import jax.numpy as jnp
+
+    def to_device(b):
+        ids, mask = tok.encode(b["prompt"])
+        return {"seg": jnp.asarray(b["seg"]), "gt": jnp.asarray(b["gt"]),
+                "ids": jnp.asarray(ids), "mask": jnp.asarray(mask)}
+
+    def save(step_num):
+        for coll in ("unet_lora", "ctrl_lora"):
+            np.savez(out / f"{coll}_step{step_num}.npz", **_flatten(state.params[coll]))
+        meta = {"mode": args.mode, "rank": args.rank, "step": step_num,
+                "guidance_scale": dcfg.guidance_scale, "teacher_steps": args.teacher_steps,
+                "sigma_data": dcfg.sigma_data, "timestep_scaling": dcfg.timestep_scaling}
+        (out / "distill_meta.json").write_text(json.dumps(meta, indent=1))
+
+    meter = MeterEMA()
+    rng = jax.random.PRNGKey(preset.seed)
+    it = ds.iter_batches(batch_size, shuffle=True, seed=preset.seed)
+    step_num = 0
+    t0 = time.time()
+    while step_num < args.steps:
+        state, m = step_fn(state, to_device(next(it)), rng)
+        step_num = int(state.step)
+        if step_num % args.log_every == 0 or step_num == 1:
+            ema = meter.update(float(m["loss"]))
+            print(f"step {step_num}: loss {float(m['loss']):.5f} ema {ema:.5f} "
+                  f"({step_num / (time.time() - t0):.2f} it/s)")
+        else:
+            meter.update(float(m["loss"]))
+        if step_num % args.save_every == 0:
+            save(step_num)
+    save(step_num)
+    print(f"distilled student saved under {out}")
 
 
 def _maybe_restore(args, preset, cfg, params):
@@ -438,7 +546,29 @@ def build_parser():
     sp.add_argument("--prompt", required=True)
     sp.add_argument("--seg", required=True)
     sp.add_argument("--out", default="sample.png")
+    sp.add_argument("--sampler", choices=["ddim", "consistency"], default="ddim",
+                    help="consistency = few-step distilled student (see `distill`)")
+    sp.add_argument("--cfg-interval", type=int, default=1,
+                    help="lazy-CFG: refresh uncond eps every k-th step (1 = exact)")
+    sp.add_argument("--deep-cache", type=int, default=1,
+                    help="DeepCache: refresh the deep trunk every k-th step (1 = exact)")
+    sp.add_argument("--distill-ckpt", default=None,
+                    help="distill run dir: overlay student adapters + use its sampling mode")
     sp.set_defaults(fn=cmd_sample)
+
+    sp = sub.add_parser("distill")
+    common(sp)
+    sp.add_argument("--data", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--mode", choices=["guidance", "consistency"], default="guidance")
+    sp.add_argument("--steps", type=int, default=2000)
+    sp.add_argument("--rank", type=int, default=16, help="student LoRA rank (qkvo)")
+    sp.add_argument("--teacher-steps", type=int, default=50,
+                    help="consistency mode: teacher DDIM ladder length")
+    sp.add_argument("--batch", type=int, default=None, help="override preset batch size")
+    sp.add_argument("--log-every", type=int, default=50)
+    sp.add_argument("--save-every", type=int, default=500)
+    sp.set_defaults(fn=cmd_distill)
 
     sp = sub.add_parser("evaluate")
     common(sp)

@@ -6,8 +6,16 @@ from topomap_tpu.core.schedules import (
     make_ddim_timesteps,
 )
 from topomap_tpu.core.ddim import DDIMConfig, ddim_sample, guess_mode_control_scales
+from topomap_tpu.core.consistency import (
+    boundary_scalings,
+    consistency_fn,
+    consistency_sample,
+)
 
 __all__ = [
+    "boundary_scalings",
+    "consistency_fn",
+    "consistency_sample",
     "DiffusionSchedule",
     "make_schedule",
     "q_sample",

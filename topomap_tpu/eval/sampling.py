@@ -46,8 +46,11 @@ def sample_preview(
     eta: float = 0.0,
     seed: int = 1234,
     attn_fn=None,
+    cfg_interval: int = 1,
+    deep_cache_interval: int = 1,
 ) -> jnp.ndarray:
-    """Returns decoded images [B,H,W,3] in [−1,1]."""
+    """Returns decoded images [B,H,W,3] in [−1,1]. ``cfg_interval`` / ``deep_cache_interval``
+    are the opt-in approximate speed knobs (lazy CFG / DeepCache — see ``DDIMConfig``)."""
     from topomap_tpu.models.attention import xla_attention
 
     c = encode_text(params, cfg, batch["ids"], batch["mask"])
@@ -55,7 +58,8 @@ def sample_preview(
         params,
         cfg,
         sched,
-        DDIMConfig(num_steps=steps, guidance_scale=scale, eta=eta),
+        DDIMConfig(num_steps=steps, guidance_scale=scale, eta=eta,
+                   cfg_interval=cfg_interval, deep_cache_interval=deep_cache_interval),
         jax.random.PRNGKey(seed),
         batch["seg"],
         c,

@@ -407,3 +407,37 @@ def sample(
     z0 = ddim_sample(denoise, sched, ddim, rng, shape, cond, uncond,
                      denoise_cached=denoise_cached, cache0=cache0)
     return decode_latent(params, cfg, z0, decode_dtype) if decode else z0
+
+
+def sample_consistency(
+    params: Params,
+    cfg: PipelineConfig,
+    sched: DiffusionSchedule,
+    num_steps: int,
+    rng,
+    seg: jnp.ndarray,
+    crossattn: jnp.ndarray,
+    control_scales: Optional[jnp.ndarray] = None,
+    attn_fn: AttnFn = xla_attention,
+    decode: bool = True,
+    decode_dtype=jnp.float32,
+    sigma_data: float = 0.5,
+    timestep_scaling: float = 10.0,
+) -> jnp.ndarray:
+    """Few-step sampling with a consistency-distilled student (``train.distill``,
+    mode="consistency"): ``num_steps`` SINGLE model evaluations — no CFG pair, guidance is
+    baked into the student adapters. 1–8 steps vs the reference's 2×12–50 evaluations."""
+    from topomap_tpu.core.consistency import consistency_sample
+
+    b = seg.shape[0]
+    ds = cfg.vae.downscale
+    shape = (b, seg.shape[1] // ds, seg.shape[2] // ds, cfg.unet.in_channels)
+    denoise = lambda z, t, c: apply_model(
+        params, cfg, z, t, c, control_scales=control_scales, attn_fn=attn_fn
+    )
+    cond = {"crossattn": crossattn, "concat": seg}
+    z0 = consistency_sample(
+        denoise, sched, num_steps, rng, shape, cond,
+        sigma_data=sigma_data, timestep_scaling=timestep_scaling,
+    )
+    return decode_latent(params, cfg, z0, decode_dtype) if decode else z0

@@ -20,6 +20,16 @@ from topomap_tpu.train.optim import (
     count_trainable,
     warmup_cosine_floor,
 )
+from topomap_tpu.train.distill import (
+    DistillConfig,
+    DistillState,
+    init_distill_state,
+    make_distill_step,
+    make_guidance_distill_step,
+    make_consistency_distill_step,
+    prepare_student,
+    teacher_view,
+)
 from topomap_tpu.train.trainer import (
     TrainState,
     MeterEMA,

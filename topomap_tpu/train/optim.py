@@ -172,6 +172,13 @@ def embfussion_labeler(path: str) -> str | None:
     return None
 
 
+def distill_labeler(path: str) -> str | None:
+    """Distillation students (``topomap_tpu.train.distill``): fresh LoRA adapters only."""
+    if path.startswith("unet_lora/") or path.startswith("ctrl_lora/"):
+        return "distill"
+    return None
+
+
 LABELERS = {
     "config1": config1_labeler,
     "config2": config2_labeler,
@@ -183,6 +190,7 @@ LABELERS = {
     "q_only": q_only_labeler,
     "aft_froze_adapter": aft_froze_adapter_labeler,
     "embfussion": embfussion_labeler,
+    "distill": distill_labeler,
 }
 
 # Per-group base LRs per config (SURVEY.md §2.5-2.6 hyper tables).
@@ -197,6 +205,7 @@ GROUP_LRS = {
     "q_only": {"unet_lora": 1e-4},
     "aft_froze_adapter": {"bert_ft": 3e-5, "unet_lora": 1e-4},
     "embfussion": {"fusion": 1e-4, "unet_lora": 2e-4},
+    "distill": {"distill": 1e-4},
 }
 
 
