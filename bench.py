@@ -48,7 +48,8 @@ def main():
     sched = make_schedule(cfg.num_train_timesteps)
     cfg_interval = int(os.environ.get("BENCH_CFG_INTERVAL", "1"))
     dc_interval = int(os.environ.get("BENCH_DEEP_CACHE", "1"))
-    ddim = DDIMConfig(num_steps=steps, guidance_scale=7.5, eta=0.0, cfg_interval=cfg_interval,
+    scale = float(os.environ.get("BENCH_SCALE", "7.5"))  # 1.0 = CFG-free (distilled student)
+    ddim = DDIMConfig(num_steps=steps, guidance_scale=scale, eta=0.0, cfg_interval=cfg_interval,
                       deep_cache_interval=dc_interval)
     which_attn = os.environ.get("BENCH_ATTN", "pallas")
     if which_attn == "pallas":
@@ -129,7 +130,7 @@ def main():
                 "metric": (
                     f"stylized {size}x{size} tiles/sec/chip @ {steps} consistency-student steps (SD1.5+ControlNet, CFG-free, bf16)"
                     if sampler == "consistency"
-                    else f"stylized {size}x{size} tiles/sec/chip @ {steps} DDIM steps (SD1.5+ControlNet, CFG{'' if cfg_interval == 1 else f'-lazy{cfg_interval}'}{'' if dc_interval == 1 else f', deepcache-{dc_interval}'}, bf16)"
+                    else f"stylized {size}x{size} tiles/sec/chip @ {steps} DDIM steps (SD1.5+ControlNet, {'CFG-free' if scale == 1.0 else 'CFG'}{'' if cfg_interval == 1 else f'-lazy{cfg_interval}'}{'' if dc_interval == 1 else f', deepcache-{dc_interval}'}, bf16)"
                 ),
                 "value": round(tiles_per_sec, 4),
                 "unit": "tiles/sec/chip",
