@@ -1,0 +1,135 @@
+"""Full-scale distillation sanity on the real TPU chip.
+
+Runs guidance distillation (train/distill.py) of the REAL config-3 SD1.5 topology at 512²
+— simulated-pretrained teacher, rank-16 qkvo student adapters — and logs the distillation
+loss trajectory to ``runs/distill512_guidance/loss_log.json`` (reference schema). The
+initial loss is the amplified CFG gap ``(w−1)²·E||ε_c−ε_u||²``; a decreasing trajectory
+demonstrates the student adapters absorbing the guidance signal at production scale.
+
+Usage:  python tools/distill512_check.py  [STEPS=200 SCAN=20 BATCH=2 via env]
+"""
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_default_prng_impl", "rbg")
+    import jax.numpy as jnp
+
+    from topomap_tpu.core import make_schedule
+    from topomap_tpu.lora import LoRASpec
+    from topomap_tpu.ops.flash_attention import best_attention_fn
+    from topomap_tpu.pipeline import (
+        PipelineConfig,
+        init_pipeline,
+        make_tokenizers,
+        simulate_pretrained,
+    )
+    from topomap_tpu.train.distill import (
+        DistillConfig,
+        init_distill_state,
+        make_distill_step,
+        prepare_student,
+    )
+    from topomap_tpu.train.optim import OptimConfig, build_optimizer
+    from topomap_tpu.train.trainer import make_train_scan
+
+    steps = int(os.environ.get("STEPS", "200"))
+    scan_steps = int(os.environ.get("SCAN", "20"))
+    batch = int(os.environ.get("BATCH", "2"))
+    size = int(os.environ.get("SIZE", "512"))
+
+    cfg = PipelineConfig.sd15_config3()
+    sched = make_schedule(cfg.num_train_timesteps)
+    dcfg = DistillConfig(mode="guidance", lora=LoRASpec.qkvo(16))
+
+    print("init params on host cpu...", file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except Exception:
+        cpu = None
+    import contextlib
+
+    with jax.default_device(cpu) if cpu is not None else contextlib.nullcontext():
+        params = simulate_pretrained(
+            init_pipeline(jax.random.PRNGKey(0), cfg), jax.random.PRNGKey(1)
+        )
+        params = prepare_student(params, cfg, dcfg, jax.random.PRNGKey(2))
+        params.pop("clip", None)  # text path here uses BERT+adapter only
+    params = jax.device_put(params, jax.devices()[0])
+    jax.block_until_ready(jax.tree.leaves(params)[0])
+    print(f"params ready in {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
+
+    tx, part = build_optimizer(
+        params, OptimConfig("distill", total_steps=steps, warmup=max(1, steps // 10))
+    )
+    state = init_distill_state(params, tx, part)
+    step_fn = jax.jit(
+        make_train_scan(
+            make_distill_step(cfg, sched, tx, part, dcfg, attn_fn=best_attention_fn(),
+                              remat=True),
+            scan_steps,
+        ),
+        donate_argnums=0,
+    )
+
+    tok, _ = make_tokenizers(cfg)
+    prompts = ["Set Forest color to dark green", "Render Road as a dashed line pattern"]
+    ids, mask = tok.encode((prompts * batch)[:batch])
+    # one fixed synthetic tile pair (overfit-style sanity, like runs/overfit512_config3)
+    import numpy as np
+
+    rng_np = np.random.default_rng(0)
+    seg_np = rng_np.random((batch, size, size, 3), dtype=np.float32)
+    gt_np = rng_np.random((batch, size, size, 3), dtype=np.float32) * 2.0 - 1.0
+    batch_d = {
+        "seg": jnp.tile(jnp.asarray(seg_np)[None], (scan_steps, 1, 1, 1, 1)),
+        "gt": jnp.tile(jnp.asarray(gt_np)[None], (scan_steps, 1, 1, 1, 1)),
+        "ids": jnp.tile(jnp.asarray(ids)[None], (scan_steps, 1, 1)),
+        "mask": jnp.tile(jnp.asarray(mask)[None], (scan_steps, 1, 1)),
+    }
+
+    out_dir = Path(__file__).resolve().parent.parent / "runs" / "distill512_guidance"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    log = {"step": [], "train_mse": [], "ema": [], "val_step": [], "val_mse": [],
+           "val_l1": [], "val_ssim": []}
+    ema, beta, count = 0.0, 0.98, 0
+
+    rng = jax.random.PRNGKey(7)
+    print("compiling...", file=sys.stderr, flush=True)
+    n_scans = (steps + scan_steps - 1) // scan_steps
+    t_all = time.perf_counter()
+    for i in range(n_scans):
+        t0 = time.perf_counter()
+        state, m = step_fn(state, batch_d, jax.random.fold_in(rng, i))
+        losses = [float(x) for x in jax.device_get(m["loss"])]
+        dt = time.perf_counter() - t0
+        for j, l in enumerate(losses):
+            count += 1
+            ema = beta * ema + (1 - beta) * l
+            log["step"].append(i * scan_steps + j + 1)
+            log["train_mse"].append(l)
+            log["ema"].append(ema / (1 - beta**count))
+        print(f"scan {i}: steps {i*scan_steps+1}-{(i+1)*scan_steps} "
+              f"first/last loss {losses[0]:.4f}/{losses[-1]:.4f} "
+              f"({dt:.1f}s, {scan_steps/dt:.2f} steps/s)", file=sys.stderr, flush=True)
+        (out_dir / "loss_log.json").write_text(json.dumps(log))
+    total = time.perf_counter() - t_all
+    print(json.dumps({
+        "initial_loss": log["train_mse"][0],
+        "final_ema": log["ema"][-1],
+        "steps": len(log["step"]),
+        "wall_s": round(total, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

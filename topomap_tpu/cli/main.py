@@ -274,7 +274,16 @@ def cmd_distill(args):
         params, OptimConfig("distill", total_steps=args.steps, warmup=max(1, args.steps // 20))
     )
     state = init_distill_state(params, tx, part)
-    step_fn = jax.jit(make_distill_step(cfg, sched, tx, part, dcfg))
+    scan_n = max(1, getattr(args, "scan_steps", 1))
+    if scan_n > 1:
+        from topomap_tpu.train.trainer import make_train_scan
+
+        step_fn = jax.jit(
+            make_train_scan(make_distill_step(cfg, sched, tx, part, dcfg), scan_n),
+            donate_argnums=0,
+        )
+    else:
+        step_fn = jax.jit(make_distill_step(cfg, sched, tx, part, dcfg))
 
     records = read_pairs_jsonl(args.data)
     train_recs, _, _ = stratified_split_ratio(records, shuffle_seed=preset.seed)
@@ -303,15 +312,22 @@ def cmd_distill(args):
     step_num = 0
     t0 = time.time()
     while step_num < args.steps:
-        state, m = step_fn(state, to_device(next(it)), rng)
-        step_num = int(state.step)
-        if step_num % args.log_every == 0 or step_num == 1:
-            ema = meter.update(float(m["loss"]))
-            print(f"step {step_num}: loss {float(m['loss']):.5f} ema {ema:.5f} "
-                  f"({step_num / (time.time() - t0):.2f} it/s)")
+        if scan_n == 1:
+            state, m = step_fn(state, to_device(next(it)), rng)
+            losses = [float(m["loss"])]
         else:
-            meter.update(float(m["loss"]))
-        if step_num % args.save_every == 0:
+            chunk = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *[to_device(next(it)) for _ in range(scan_n)]
+            )
+            state, m = step_fn(state, chunk, rng)
+            losses = [float(x) for x in m["loss"]]
+        step_num = int(state.step)
+        for l in losses:
+            ema = meter.update(l)
+        if step_num % args.log_every < len(losses) or step_num <= len(losses):
+            print(f"step {step_num}: loss {losses[-1]:.5f} ema {ema:.5f} "
+                  f"({step_num / (time.time() - t0):.2f} it/s)")
+        if step_num % args.save_every < len(losses):
             save(step_num)
     save(step_num)
     print(f"distilled student saved under {out}")
@@ -568,6 +584,8 @@ def build_parser():
     sp.add_argument("--batch", type=int, default=None, help="override preset batch size")
     sp.add_argument("--log-every", type=int, default=50)
     sp.add_argument("--save-every", type=int, default=500)
+    sp.add_argument("--scan-steps", type=int, default=1,
+                    help="distill steps fused per dispatch (lax.scan)")
     sp.set_defaults(fn=cmd_distill)
 
     sp = sub.add_parser("evaluate")

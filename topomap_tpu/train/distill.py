@@ -94,7 +94,9 @@ def init_distill_state(
     train = partition.extract(params)
     return DistillState(
         params=params,
-        ema=[jnp.asarray(x) for x in train],
+        # real copies, NOT views: params and ema leaves must be distinct buffers or
+        # donation of the state (donate_argnums=0 scan dispatch) sees the same buffer twice
+        ema=[jnp.array(x, copy=True) for x in train],
         opt_state=tx.init(train),
         step=jnp.asarray(0, jnp.int32),
     )
