@@ -131,6 +131,24 @@ def test_stylize_sheet_overlap_blend():
     assert out.shape == (32, 64, 3) and out.dtype == jnp.uint8
 
 
+def test_stylize_sheet_consistency_sampler():
+    """Sheet pipeline with the few-step consistency student (CFG-free, single eval/step)."""
+    from topomap_tpu.data.synthetic import generate_seg_tile
+    from topomap_tpu.eval.sampling import stylize_sheet
+
+    params = _params()
+    tok, _ = make_tokenizers(CFG)
+    ids, mask = tok.encode(["Set Forest color to dark green"])
+    c = encode_text(params, CFG, jnp.asarray(ids), jnp.asarray(mask))
+    sheet = np.concatenate([generate_seg_tile(i)[:32, :32] for i in range(2)], axis=1)
+    out = stylize_sheet(
+        params, CFG, SCHED, jnp.asarray(sheet),
+        crossattn_fn=lambda n: jnp.tile(c, (n, 1, 1)),
+        tile=32, steps=2, batch_tiles=2, sampler="consistency",
+    )
+    assert out.shape == (32, 64, 3) and out.dtype == jnp.uint8
+
+
 def test_apply_model_cached_refresh_matches_exact():
     """refresh=True must reproduce apply_model bit-for-bit (same math, split execution)."""
     import jax.numpy as jnp

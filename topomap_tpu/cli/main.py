@@ -406,6 +406,14 @@ def cmd_stylize_sheet(args):
 
     preset, cfg, sched, params, tok, _ = _setup(args)
     params = _maybe_restore(args, preset, cfg, params)
+    sampler = args.sampler
+    if getattr(args, "distill_ckpt", None):
+        params, meta = _load_distill(args.distill_ckpt, params, cfg)
+        if meta.get("mode") == "consistency":
+            sampler = "consistency"
+        elif sampler == "ddim":
+            args.scale = 1.0
+        print(f"distilled student ({meta.get('mode')}, w={meta.get('guidance_scale')})")
     sheet = np.array(Image.open(args.sheet).convert("RGB"))
     ids, mask = tok.encode([args.prompt])
 
@@ -420,6 +428,8 @@ def cmd_stylize_sheet(args):
         params, cfg, sched, jnp.asarray(sheet), crossattn_fn,
         tile=args.size, steps=args.ddim_steps, scale=args.scale, seed=args.seed,
         batch_tiles=args.batch_tiles, contours_u8=contours, overlap=args.overlap,
+        sampler=sampler, cfg_interval=getattr(args, "cfg_interval", 1),
+        deep_cache_interval=getattr(args, "deep_cache", 1),
     )
     Image.fromarray(np.asarray(out)).save(args.out)
     print(f"wrote {args.out} ({out.shape[1]}x{out.shape[0]})")
@@ -603,6 +613,11 @@ def build_parser():
     sp.add_argument("--batch-tiles", type=int, default=4)
     sp.add_argument("--overlap", type=int, default=0,
                     help="overlapped-tile feathered stitching (px); 0 = reference hard seams")
+    sp.add_argument("--sampler", choices=["ddim", "consistency"], default="ddim")
+    sp.add_argument("--cfg-interval", type=int, default=1)
+    sp.add_argument("--deep-cache", type=int, default=1)
+    sp.add_argument("--distill-ckpt", default=None,
+                    help="distill run dir: overlay student adapters + use its sampling mode")
     sp.add_argument("--out", default="sheet_styled.png")
     sp.set_defaults(fn=cmd_stylize_sheet)
 

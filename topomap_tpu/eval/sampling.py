@@ -153,6 +153,9 @@ def stylize_sheet(
     contours_u8: Optional[jnp.ndarray] = None,
     attn_fn=None,
     overlap: int = 0,
+    sampler: str = "ddim",
+    cfg_interval: int = 1,
+    deep_cache_interval: int = 1,
 ) -> jnp.ndarray:
     """Stylize a whole map sheet: [H,W,3] uint8 seg → [H,W,3] uint8 stylized.
 
@@ -164,8 +167,12 @@ def stylize_sheet(
     (:func:`topomap_tpu.ops.image.stitch_tiles_blend`) — an improvement over the
     reference's hard hstack/vstack seams (``stitchTiles.py:6-45``) at the cost of
     ~``1/(1-overlap/tile)²`` more tile evaluations.
+
+    ``sampler="consistency"`` uses the few-step distilled student (``steps`` single
+    evals/tile); ``cfg_interval``/``deep_cache_interval`` are the opt-in DDIM speed knobs.
     """
     from topomap_tpu.models.attention import xla_attention
+    from topomap_tpu.pipeline import sample_consistency
 
     attn_fn = attn_fn or xla_attention
     h, w = sheet_seg_u8.shape[:2]
@@ -176,23 +183,30 @@ def stylize_sheet(
     else:
         tiles = to_unit(tile_sheet(sheet_seg_u8, tile))  # [N,512,512,3] in [0,1]
     n = tiles.shape[0]
-    ddim = DDIMConfig(num_steps=steps, guidance_scale=scale)
+    ddim = DDIMConfig(num_steps=steps, guidance_scale=scale, cfg_interval=cfg_interval,
+                      deep_cache_interval=deep_cache_interval)
 
     outs = []
     for start in range(0, n, batch_tiles):
         chunk = tiles[start : start + batch_tiles]
         c = crossattn_fn(chunk.shape[0])
-        img = sample(
-            params,
-            cfg,
-            sched,
-            ddim,
-            jax.random.PRNGKey(seed + start),
-            chunk,
-            c,
-            control_scales=control_scales,
-            attn_fn=attn_fn,
-        )
+        if sampler == "consistency":
+            img = sample_consistency(
+                params, cfg, sched, steps, jax.random.PRNGKey(seed + start), chunk, c,
+                control_scales=control_scales, attn_fn=attn_fn,
+            )
+        else:
+            img = sample(
+                params,
+                cfg,
+                sched,
+                ddim,
+                jax.random.PRNGKey(seed + start),
+                chunk,
+                c,
+                control_scales=control_scales,
+                attn_fn=attn_fn,
+            )
         outs.append(from_signed(img))
     all_tiles = jnp.concatenate(outs, axis=0)
     if overlap > 0:
