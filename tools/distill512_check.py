@@ -97,6 +97,48 @@ def main():
         "mask": jnp.tile(jnp.asarray(mask)[None], (scan_steps, 1, 1)),
     }
 
+    # fixed-seed distill-val: student-vs-teacher-CFG gap on a fixed (t, noise) grid —
+    # the train loss is dominated by per-step t variance, this is the clean signal
+    from topomap_tpu.pipeline import apply_model, encode_text
+    from topomap_tpu.models.vae import vae_encode, vae_sample_latent
+    from topomap_tpu.core import q_sample
+    from topomap_tpu.train.distill import teacher_view
+
+    attn = best_attention_fn()
+
+    def distill_val(params, vb):
+        # vb passed as arguments, NOT captured: closure constants of this size blow the
+        # remote-compile request limit (HTTP 413)
+        vr = jax.random.PRNGKey(12345)
+        c = encode_text(params, cfg, vb["ids"], vb["mask"])
+        mean, logvar = vae_encode(params["vae"], cfg.vae, vb["gt"])
+        z0 = vae_sample_latent(jax.random.fold_in(vr, 0), mean, logvar, cfg.vae.scale_factor)
+        cond = {"crossattn": c, "concat": vb["seg"]}
+        uncond = {"crossattn": jnp.zeros_like(c), "concat": vb["seg"]}
+        tp = teacher_view(params)
+
+        def body(i, acc):
+            r = jax.random.fold_in(vr, i + 1)
+            t = jnp.full((z0.shape[0],), 100 + i * 200, jnp.int32)
+            noise = jax.random.normal(r, z0.shape)
+            z_t = q_sample(sched, z0, t, noise)
+            e2 = apply_model(
+                tp, cfg,
+                jnp.concatenate([z_t, z_t]), jnp.concatenate([t, t]),
+                jax.tree.map(lambda a, b: jnp.concatenate([a, b]), cond, uncond),
+                attn_fn=attn,
+            )
+            b_ = z0.shape[0]
+            tgt = e2[b_:] + dcfg.guidance_scale * (e2[:b_] - e2[b_:])
+            eps_s = apply_model(params, cfg, z_t, t, cond, attn_fn=attn)
+            return acc + jnp.mean((eps_s - tgt) ** 2)
+
+        return jax.lax.fori_loop(0, 5, body, 0.0) / 5
+
+    _val_jit = jax.jit(distill_val)
+    val_batch = {k: batch_d[k][0] for k in ("seg", "gt", "ids", "mask")}
+    val_fn = lambda p: _val_jit(p, val_batch)
+
     out_dir = Path(__file__).resolve().parent.parent / "runs" / "distill512_guidance"
     out_dir.mkdir(parents=True, exist_ok=True)
     log = {"step": [], "train_mse": [], "ema": [], "val_step": [], "val_mse": [],
@@ -106,7 +148,12 @@ def main():
     rng = jax.random.PRNGKey(7)
     print("compiling...", file=sys.stderr, flush=True)
     n_scans = (steps + scan_steps - 1) // scan_steps
+    val_every = max(1, n_scans // 8)
     t_all = time.perf_counter()
+    v0 = float(val_fn(state.params))
+    log["val_step"].append(0)
+    log["val_mse"].append(v0)
+    print(f"val[0] {v0:.4f}", file=sys.stderr, flush=True)
     for i in range(n_scans):
         t0 = time.perf_counter()
         state, m = step_fn(state, batch_d, jax.random.fold_in(rng, i))
@@ -121,10 +168,16 @@ def main():
         print(f"scan {i}: steps {i*scan_steps+1}-{(i+1)*scan_steps} "
               f"first/last loss {losses[0]:.4f}/{losses[-1]:.4f} "
               f"({dt:.1f}s, {scan_steps/dt:.2f} steps/s)", file=sys.stderr, flush=True)
+        if (i + 1) % val_every == 0 or i == n_scans - 1:
+            v = float(val_fn(state.params))
+            log["val_step"].append((i + 1) * scan_steps)
+            log["val_mse"].append(v)
+            print(f"val[{(i+1)*scan_steps}] {v:.4f}", file=sys.stderr, flush=True)
         (out_dir / "loss_log.json").write_text(json.dumps(log))
     total = time.perf_counter() - t_all
     print(json.dumps({
-        "initial_loss": log["train_mse"][0],
+        "initial_val": log["val_mse"][0],
+        "final_val": log["val_mse"][-1],
         "final_ema": log["ema"][-1],
         "steps": len(log["step"]),
         "wall_s": round(total, 1),
