@@ -447,10 +447,13 @@ def best_attention_fn():
     """Attention backend selection.
 
     Measured on v5e inside the full 50-step jitted DDIM scan (SD1.5+ControlNet, batch 4,
-    CFG, bf16): this kernel 6.14 s vs XLA einsum attention 7.94 s — the kernel wins ~23%
-    end-to-end despite the head_dim 40→128 lane padding. (Eager per-call comparisons
-    through the remote-TPU tunnel invert this ordering — dispatch overhead dominates; only
-    in-scan numbers count.) Default = pallas on TPU; override with ``TOPOMAP_ATTN=xla``.
+    CFG, bf16): transposed-layout kernel (``pallas_attention_tt``, projections emit/consume
+    [B,H,Dh,T] — no layout copies) 0.892 tiles/s vs standard-layout pallas 0.837 vs XLA
+    einsum 0.504. (Eager per-call comparisons through the remote-TPU tunnel invert these
+    orderings — dispatch overhead dominates; only in-scan numbers count.) Default =
+    transposed pallas on TPU; override with ``TOPOMAP_ATTN=xla|pallas|pallas_tt``. The
+    attention code falls back to the standard layout automatically where the transposed
+    path doesn't apply (runtime LoRA trees present).
     """
     import os
 
@@ -467,4 +470,4 @@ def best_attention_fn():
         platform = jax.devices()[0].platform
     except Exception:
         return xla_attention
-    return pallas_attention if platform in ("tpu", "axon") else xla_attention
+    return pallas_attention_tt if platform in ("tpu", "axon") else xla_attention
