@@ -361,6 +361,14 @@ def cmd_evaluate(args):
 
     preset, cfg, sched, params, tok, _ = _setup(args)
     params = _maybe_restore(args, preset, cfg, params)
+    sampler = getattr(args, "sampler", "ddim")
+    if getattr(args, "distill_ckpt", None):
+        params, meta = _load_distill(args.distill_ckpt, params, cfg)
+        if meta.get("mode") == "consistency":
+            sampler = "consistency"
+        elif sampler == "ddim":
+            args.scale = 1.0
+        print(f"distilled student ({meta.get('mode')}, w={meta.get('guidance_scale')})")
     records = read_pairs_jsonl(args.data)
     # group by prompt, sample ≤N per prompt (quantitative_metrics.py:123-145)
     by_prompt: dict[str, list] = {}
@@ -377,8 +385,19 @@ def cmd_evaluate(args):
                 "ids": jnp.asarray(ids),
                 "mask": jnp.asarray(mask),
             }
-            img = sample_preview(params, cfg, sched, batch, steps=args.ddim_steps,
-                                 scale=args.scale, seed=args.seed)
+            if sampler == "consistency":
+                import jax as _jax
+
+                from topomap_tpu.pipeline import encode_text, sample_consistency
+
+                c = encode_text(params, cfg, batch["ids"], batch["mask"])
+                img = sample_consistency(params, cfg, sched, args.ddim_steps,
+                                         _jax.random.PRNGKey(args.seed), batch["seg"], c)
+            else:
+                img = sample_preview(params, cfg, sched, batch, steps=args.ddim_steps,
+                                     scale=args.scale, seed=args.seed,
+                                     cfg_interval=getattr(args, "cfg_interval", 1),
+                                     deep_cache_interval=getattr(args, "deep_cache", 1))
             pred = jnp.asarray(np.asarray(from_signed(img[0])), jnp.float32)
             gt = jnp.asarray((item["gt"] + 1.0) * 127.5, jnp.float32)
             rows.append({
@@ -602,6 +621,10 @@ def build_parser():
     common(sp)
     sp.add_argument("--data", required=True)
     sp.add_argument("--per-prompt", type=int, default=5)
+    sp.add_argument("--sampler", choices=["ddim", "consistency"], default="ddim")
+    sp.add_argument("--cfg-interval", type=int, default=1)
+    sp.add_argument("--deep-cache", type=int, default=1)
+    sp.add_argument("--distill-ckpt", default=None)
     sp.add_argument("--out", default=None)
     sp.set_defaults(fn=cmd_evaluate)
 
