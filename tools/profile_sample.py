@@ -27,7 +27,7 @@ def capture(trace_dir: str):
     import jax.numpy as jnp
 
     from topomap_tpu.core import DDIMConfig, make_schedule
-    from topomap_tpu.ops.flash_attention import pallas_attention
+    from topomap_tpu.ops.flash_attention import best_attention_fn
     from topomap_tpu.pipeline import PipelineConfig, init_pipeline, sample, simulate_pretrained
 
     batch = int(os.environ.get("BENCH_BATCH", "4"))
@@ -56,7 +56,7 @@ def capture(trace_dir: str):
     context = jax.random.normal(jax.random.PRNGKey(2), (batch, 77, cfg.unet.context_dim), jnp.float32)
 
     def run(params, rng):
-        return sample(params, cfg, sched, ddim, rng, seg, context, attn_fn=pallas_attention,
+        return sample(params, cfg, sched, ddim, rng, seg, context, attn_fn=best_attention_fn(),
                       decode_dtype=jnp.bfloat16)
 
     run_jit = jax.jit(run)
