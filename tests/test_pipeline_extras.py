@@ -149,6 +149,28 @@ def test_stylize_sheet_consistency_sampler():
     assert out.shape == (32, 64, 3) and out.dtype == jnp.uint8
 
 
+def test_hint_features_hoisting_exact():
+    """Precomputed cond['hint_features'] must reproduce the in-graph hint block exactly
+    (the sampler hoists it out of the DDIM scan)."""
+    import jax.numpy as jnp
+
+    from topomap_tpu.pipeline import apply_model, hint_features
+
+    params = _params()
+    tok, _ = make_tokenizers(CFG)
+    ids, mask = tok.encode(["Set Lake color to navy blue"])
+    c = encode_text(params, CFG, jnp.asarray(ids), jnp.asarray(mask))
+    seg = jnp.linspace(0, 1, 32 * 32 * 3).reshape(1, 32, 32, 3)
+    z = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 4))
+    t = jnp.asarray([321], jnp.int32)
+    ref = apply_model(params, CFG, z, t, {"crossattn": c, "concat": seg})
+    gh = hint_features(params, CFG, seg)
+    out = apply_model(
+        params, CFG, z, t, {"crossattn": c, "concat": seg, "hint_features": gh}
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
 def test_apply_model_cached_refresh_matches_exact():
     """refresh=True must reproduce apply_model bit-for-bit (same math, split execution)."""
     import jax.numpy as jnp

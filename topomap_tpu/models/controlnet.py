@@ -102,19 +102,26 @@ def controlnet_apply(
     compute_dtype=jnp.float32,
     hint_downscale: int = 8,
     remat: bool = False,
+    guided_hint: Optional[jnp.ndarray] = None,
 ) -> list[jnp.ndarray]:
     """Return the 13 control residuals for ``unet_apply(control=...)``.
 
     x: noisy latent [B,h,w,4]; hint: seg tile [B,8h,8w,3] in [0,1]; context [B,T,ctx].
+    ``guided_hint`` (optional) is a precomputed ``hint_block_apply`` output: the hint
+    block depends only on the seg tile, so samplers hoist it OUT of the DDIM scan
+    (the image-resolution convs would otherwise rerun every step; XLA does not move
+    them out of the scan body).
     """
     lora = lora or {}
     x = x.astype(compute_dtype)
-    hint = hint.astype(compute_dtype)
     context = context.astype(compute_dtype)
     temb = timestep_embedding(t, cfg.model_channels)
     emb = dense(p["time_embed"]["fc2"], silu(dense(p["time_embed"]["fc1"], temb))).astype(compute_dtype)
 
-    guided = hint_block_apply(p["input_hint_block"], hint, hint_downscale)
+    if guided_hint is None:
+        guided = hint_block_apply(p["input_hint_block"], hint.astype(compute_dtype), hint_downscale)
+    else:
+        guided = guided_hint.astype(compute_dtype)
     hs = unet_encoder_apply(
         p["encoder"], cfg, x, emb, context, lora.get("encoder"), attn_fn,
         extra_first=guided, remat=remat,

@@ -210,7 +210,8 @@ def apply_model(
     """eps prediction with ControlNet conditioning.
 
     ``cond = {"crossattn": [B,T,D], "concat": [B,H,W,3]}`` — the jnp equivalent of the
-    reference's ``{c_crossattn: [...], c_concat: [...]}``.
+    reference's ``{c_crossattn: [...], c_concat: [...]}``. An optional
+    ``cond["hint_features"]`` carries the precomputed (scan-hoisted) hint-block output.
     """
     control = controlnet_apply(
         params["controlnet"],
@@ -225,6 +226,7 @@ def apply_model(
         compute_dtype=cfg.compute_dtype,
         hint_downscale=cfg.vae.downscale,
         remat=remat,
+        guided_hint=cond.get("hint_features"),
     )
     return unet_apply(
         params["unet"],
@@ -296,7 +298,10 @@ def apply_model_cached(
         return o if control_scales is None else o * control_scales[i].astype(o.dtype)
 
     # --- every step: level-0 branches of both networks ---
-    guided = hint_block_apply(cp["input_hint_block"], hint, cfg.vae.downscale)
+    if "hint_features" in cond:
+        guided = cond["hint_features"].astype(cd)
+    else:
+        guided = hint_block_apply(cp["input_hint_block"], hint, cfg.vae.downscale)
     c_hs_sh = unet_encoder_apply(
         cp["encoder"], ucfg, z, c_emb, ctx, cl.get("encoder"), attn_fn,
         extra_first=guided, stop=n_enc_sh,
@@ -349,6 +354,19 @@ def apply_model_cached(
     return eps, cache
 
 
+def hint_features(params: Params, cfg: PipelineConfig, seg: jnp.ndarray) -> jnp.ndarray:
+    """Precompute the ControlNet hint-block output for a seg tile (``[B,h,w,model_ch]``).
+    Samplers pass this as ``cond["hint_features"]`` so the image-resolution hint convs run
+    ONCE per tile instead of once per scan step."""
+    from topomap_tpu.models.controlnet import hint_block_apply
+
+    return hint_block_apply(
+        params["controlnet"]["input_hint_block"],
+        seg.astype(cfg.compute_dtype),
+        cfg.vae.downscale,
+    )
+
+
 def encode_image(params: Params, cfg: PipelineConfig, rng, img: jnp.ndarray) -> jnp.ndarray:
     """``get_first_stage_encoding(encode_first_stage(img))`` — [B,H,W,3] in [−1,1] → scaled latent."""
     mean, logvar = vae_encode(params["vae"], cfg.vae, img)
@@ -390,8 +408,10 @@ def sample(
     denoise = lambda z, t, c: apply_model(
         params, cfg, z, t, c, control_scales=control_scales, attn_fn=attn_fn
     )
-    cond = {"crossattn": crossattn, "concat": seg}
-    uncond = {"crossattn": uncond_crossattn, "concat": seg}
+    # hint block hoisted out of the DDIM scan: seg-only dependence, identical math
+    gh = hint_features(params, cfg, seg)
+    cond = {"crossattn": crossattn, "concat": seg, "hint_features": gh}
+    uncond = {"crossattn": uncond_crossattn, "concat": seg, "hint_features": gh}
     denoise_cached = cache0 = None
     if ddim.deep_cache_interval > 1:
         denoise_cached = lambda z, t, c, cache, refresh: apply_model_cached(
@@ -435,7 +455,8 @@ def sample_consistency(
     denoise = lambda z, t, c: apply_model(
         params, cfg, z, t, c, control_scales=control_scales, attn_fn=attn_fn
     )
-    cond = {"crossattn": crossattn, "concat": seg}
+    cond = {"crossattn": crossattn, "concat": seg,
+            "hint_features": hint_features(params, cfg, seg)}
     z0 = consistency_sample(
         denoise, sched, num_steps, rng, shape, cond,
         sigma_data=sigma_data, timestep_scaling=timestep_scaling,
