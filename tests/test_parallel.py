@@ -78,6 +78,44 @@ def test_sharded_training_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
 
 
+def test_sharded_distill_step_matches_single_device():
+    """Guidance distillation is data-parallel like the train step: same loss sharded
+    over the 8-device mesh as unsharded."""
+    from topomap_tpu.train.distill import (
+        DistillConfig,
+        init_distill_state,
+        make_distill_step,
+        prepare_student,
+    )
+    from topomap_tpu.train.optim import OptimConfig, build_optimizer
+
+    params = simulate_pretrained(init_pipeline(jax.random.PRNGKey(0), CFG), jax.random.PRNGKey(1))
+    dcfg = DistillConfig(mode="guidance", guidance_scale=4.0)
+    params = prepare_student(params, CFG, dcfg, jax.random.PRNGKey(2))
+    tx, part = build_optimizer(params, OptimConfig("distill", total_steps=100, warmup=5))
+    state = init_distill_state(params, tx, part)
+    step_fn = make_distill_step(CFG, SCHED, tx, part, dcfg)
+
+    tok, _ = make_tokenizers(CFG)
+    ids, mask = tok.encode(["Set Forest color to dark green"] * 8)
+    batch = {
+        "seg": np.random.default_rng(0).random((8, 32, 32, 3)).astype(np.float32),
+        "gt": (np.random.default_rng(1).random((8, 32, 32, 3)).astype(np.float32) * 2 - 1),
+        "ids": ids,
+        "mask": mask,
+    }
+    rng = jax.random.PRNGKey(7)
+
+    s1, m1 = jax.jit(step_fn)(state, jax.tree.map(jnp.asarray, batch), rng)
+
+    mesh = make_mesh()
+    state_sh = replicate(mesh, state)
+    batch_sh = shard_batch(mesh, batch)
+    s2, m2 = jax.jit(step_fn)(state_sh, batch_sh, rng)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+
+
 def test_stylize_sheet_sharded_cpu_mesh():
     params = simulate_pretrained(init_pipeline(jax.random.PRNGKey(0), CFG), jax.random.PRNGKey(1))
     mesh = make_mesh()
