@@ -243,7 +243,10 @@ def _load_distill(distill_dir, params, cfg):
     params["ctrl_lora"] = build_lora_tree(params["controlnet"], spec, jax.random.PRNGKey(1))
     step = meta["step"]
     for coll in ("unet_lora", "ctrl_lora"):
-        params = load_filtered(params, d / f"{coll}_step{step}.npz", coll)
+        ema = d / f"{coll}_ema_step{step}.npz"
+        params = load_filtered(
+            params, ema if ema.exists() else d / f"{coll}_step{step}.npz", coll
+        )
     return params, meta
 
 
@@ -299,8 +302,11 @@ def cmd_distill(args):
                 "ids": jnp.asarray(ids), "mask": jnp.asarray(mask)}
 
     def save(step_num):
+        params_ema = part.combine(state.params, state.ema)
         for coll in ("unet_lora", "ctrl_lora"):
             np.savez(out / f"{coll}_step{step_num}.npz", **_flatten(state.params[coll]))
+            # EMA student — what LCM-style recipes sample with (preferred at load time)
+            np.savez(out / f"{coll}_ema_step{step_num}.npz", **_flatten(params_ema[coll]))
         meta = {"mode": args.mode, "rank": args.rank, "step": step_num,
                 "guidance_scale": dcfg.guidance_scale, "teacher_steps": args.teacher_steps,
                 "sigma_data": dcfg.sigma_data, "timestep_scaling": dcfg.timestep_scaling}
