@@ -376,6 +376,13 @@ def cmd_evaluate(args):
             args.scale = 1.0
         print(f"distilled student ({meta.get('mode')}, w={meta.get('guidance_scale')})")
     records = read_pairs_jsonl(args.data)
+    lpips_params = None
+    if getattr(args, "lpips", False):
+        import jax as _jax
+
+        from topomap_tpu.train.losses import lpips_init
+
+        lpips_params = lpips_init(_jax.random.PRNGKey(0))
     # group by prompt, sample ≤N per prompt (quantitative_metrics.py:123-145)
     by_prompt: dict[str, list] = {}
     for r in records:
@@ -406,15 +413,23 @@ def cmd_evaluate(args):
                                      deep_cache_interval=getattr(args, "deep_cache", 1))
             pred = jnp.asarray(np.asarray(from_signed(img[0])), jnp.float32)
             gt = jnp.asarray((item["gt"] + 1.0) * 127.5, jnp.float32)
-            rows.append({
+            row = {
                 "prompt": prompt,
                 "source": r.source,
                 "mse": float(mse_rgb(pred, gt)),
                 "psnr": float(psnr_rgb(pred, gt)),
                 "hist_l1": float(color_histogram_l1(pred, gt)),
-            })
+            }
+            if lpips_params is not None:
+                from topomap_tpu.train.losses import lpips_distance
+
+                row["lpips"] = float(
+                    lpips_distance(lpips_params, (pred / 255.0)[None], (gt / 255.0)[None])
+                )
+            rows.append(row)
             print(f"{prompt[:40]:40s} mse {rows[-1]['mse']:8.2f} psnr {rows[-1]['psnr']:6.2f}")
-    means = {k: float(np.mean([r[k] for r in rows])) for k in ("mse", "psnr", "hist_l1")}
+    metric_keys = ["mse", "psnr", "hist_l1"] + (["lpips"] if lpips_params is not None else [])
+    means = {k: float(np.mean([r[k] for r in rows])) for k in metric_keys}
     print("means:", json.dumps(means))
     if args.out:
         Path(args.out).parent.mkdir(parents=True, exist_ok=True)
@@ -631,6 +646,8 @@ def build_parser():
     sp.add_argument("--cfg-interval", type=int, default=1)
     sp.add_argument("--deep-cache", type=int, default=1)
     sp.add_argument("--distill-ckpt", default=None)
+    sp.add_argument("--lpips", action="store_true",
+                    help="add LPIPS column (random-init VGG stand-in unless converted weights)")
     sp.add_argument("--out", default=None)
     sp.set_defaults(fn=cmd_evaluate)
 
