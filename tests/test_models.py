@@ -152,3 +152,23 @@ def test_unet_grads_flow(unet_params):
     # out_conv grads nonzero; deep encoder conv grads nonzero too (chain intact).
     assert float(jnp.abs(g["out_conv"]["w"]).sum()) > 0
     assert float(jnp.abs(g["encoder"]["blocks"][0]["conv_in"]["w"]).sum()) > 0
+
+
+def test_conv_taps_lowering_matches_lax(monkeypatch):
+    """TOPOMAP_CONV=taps (3x3 conv as 9 shifted GEMMs) is numerically equivalent."""
+    import numpy as np
+
+    from topomap_tpu.models.nn import KeyGen, conv, conv_init
+
+    kg = KeyGen(jax.random.PRNGKey(0))
+    p = conv_init(kg(), 5, 7, 3)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 9, 11, 5))
+    ref = conv(p, x)
+    monkeypatch.setenv("TOPOMAP_CONV", "taps")
+    out = conv(p, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    # strided / non-3x3 convs fall through to the lax path untouched
+    p1 = conv_init(kg(), 5, 6, 1)
+    np.testing.assert_allclose(
+        np.asarray(conv(p1, x, stride=2)).shape, (2, 5, 6, 6)
+    )

@@ -11,6 +11,7 @@ parameters stay float32.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any
 
 import jax
@@ -86,6 +87,14 @@ def conv_init(key, c_in: int, c_out: int, k: int = 3, zero: bool = False) -> Par
 
 def conv(p: Params, x: jnp.ndarray, stride: int = 1, padding: str | int = "SAME", dtype=None):
     dtype = dtype or x.dtype
+    if (
+        os.environ.get("TOPOMAP_CONV") == "taps"
+        and stride == 1
+        and padding == "SAME"
+        and p["w"].shape[0] == 3
+        and p["w"].shape[1] == 3
+    ):
+        return _conv3x3_taps(p, x, dtype)
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
     y = jax.lax.conv_general_dilated(
@@ -95,6 +104,28 @@ def conv(p: Params, x: jnp.ndarray, stride: int = 1, padding: str | int = "SAME"
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
+    return y + p["b"].astype(dtype)
+
+
+def _conv3x3_taps(p: Params, x: jnp.ndarray, dtype):
+    """3×3 SAME conv as the sum of 9 shifted [BHW,C]×[C,O] matmuls (``TOPOMAP_CONV=taps``).
+
+    Experimental alternative lowering: each tap is a plain GEMM the MXU tiles directly,
+    sidestepping the conv emitter's window handling. Numerics identical up to summation
+    order."""
+    w = p["w"].astype(dtype)
+    x = x.astype(dtype)
+    h, wd = x.shape[1], x.shape[2]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    y = None
+    for dy in range(3):
+        for dx in range(3):
+            xs = jax.lax.dynamic_slice(
+                xp, (0, dy, dx, 0), (x.shape[0], h, wd, x.shape[3])
+            )
+            t = jnp.einsum("bhwc,co->bhwo", xs, w[dy, dx],
+                           preferred_element_type=dtype)
+            y = t if y is None else y + t
     return y + p["b"].astype(dtype)
 
 
