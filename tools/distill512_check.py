@@ -45,10 +45,11 @@ def main():
     scan_steps = int(os.environ.get("SCAN", "20"))
     batch = int(os.environ.get("BATCH", "2"))
     size = int(os.environ.get("SIZE", "512"))
+    mode = os.environ.get("MODE", "guidance")  # guidance | consistency
 
     cfg = PipelineConfig.sd15_config3()
     sched = make_schedule(cfg.num_train_timesteps)
-    dcfg = DistillConfig(mode="guidance", lora=LoRASpec.qkvo(16))
+    dcfg = DistillConfig(mode=mode, lora=LoRASpec.qkvo(16))
 
     print("init params on host cpu...", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
@@ -117,6 +118,50 @@ def main():
         uncond = {"crossattn": jnp.zeros_like(c), "concat": vb["seg"]}
         tp = teacher_view(params)
 
+        if mode == "consistency":
+            # fixed-seed SELF-consistency residual: f(z_hi,t_hi) vs f(ẑ_lo,t_lo) where
+            # ẑ_lo is one guided teacher DDIM step down — shrinks as f converges to a
+            # true consistency function of the teacher ODE
+            from topomap_tpu.core import make_ddim_timesteps
+            from topomap_tpu.core.consistency import consistency_fn
+            from topomap_tpu.core.schedules import _extract
+
+            ladder = jnp.asarray(
+                make_ddim_timesteps(dcfg.teacher_steps, sched.num_timesteps), jnp.int32
+            )
+            ab = sched.alphas_cumprod
+
+            def body(i, acc):
+                r = jax.random.fold_in(vr, i + 1)
+                n = 5 + i * 10
+                t_hi = jnp.full((z0.shape[0],), ladder[n], jnp.int32)
+                t_lo = jnp.full((z0.shape[0],), ladder[n - 1], jnp.int32)
+                a_hi = _extract(ab, t_hi, z0.ndim)
+                a_lo = _extract(ab, t_lo, z0.ndim)
+                noise = jax.random.normal(r, z0.shape)
+                z_hi = q_sample(sched, z0, t_hi, noise)
+                e2 = apply_model(
+                    tp, cfg,
+                    jnp.concatenate([z_hi, z_hi]), jnp.concatenate([t_hi, t_hi]),
+                    jax.tree.map(lambda a, b: jnp.concatenate([a, b]), cond, uncond),
+                    attn_fn=attn,
+                )
+                b_ = z0.shape[0]
+                eps_t = e2[b_:] + dcfg.guidance_scale * (e2[:b_] - e2[b_:])
+                x0_t = (z_hi - jnp.sqrt(1.0 - a_hi) * eps_t) / jnp.sqrt(a_hi)
+                z_lo = jnp.sqrt(a_lo) * x0_t + jnp.sqrt(1.0 - a_lo) * eps_t
+                f_hi = consistency_fn(
+                    z_hi, t_hi, apply_model(params, cfg, z_hi, t_hi, cond, attn_fn=attn),
+                    a_hi, dcfg.sigma_data, dcfg.timestep_scaling,
+                )
+                f_lo = consistency_fn(
+                    z_lo, t_lo, apply_model(params, cfg, z_lo, t_lo, cond, attn_fn=attn),
+                    a_lo, dcfg.sigma_data, dcfg.timestep_scaling,
+                )
+                return acc + jnp.mean((f_hi - f_lo) ** 2)
+
+            return jax.lax.fori_loop(0, 4, body, 0.0) / 4
+
         def body(i, acc):
             r = jax.random.fold_in(vr, i + 1)
             t = jnp.full((z0.shape[0],), 100 + i * 200, jnp.int32)
@@ -139,7 +184,7 @@ def main():
     val_batch = {k: batch_d[k][0] for k in ("seg", "gt", "ids", "mask")}
     val_fn = lambda p: _val_jit(p, val_batch)
 
-    out_dir = Path(__file__).resolve().parent.parent / "runs" / "distill512_guidance"
+    out_dir = Path(__file__).resolve().parent.parent / "runs" / f"distill512_{mode}"
     out_dir.mkdir(parents=True, exist_ok=True)
     log = {"step": [], "train_mse": [], "ema": [], "val_step": [], "val_mse": [],
            "val_l1": [], "val_ssim": []}
