@@ -256,3 +256,29 @@ def test_gn_plain_vjp_matches_reference():
     got = _gn_plain_bwd(32, 1e-5, (scale, bias, x), g)
     for a, b_ in zip(got, ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+def test_transposed_attn_fn_with_runtime_lora_layout_fix():
+    """A transposed-layout attn_fn must still be usable on the runtime-LoRA path (standard
+    [B,H,T,Dh] tensors): cross_attention flips layouts around the call. Regression: the
+    distill/train paths crashed ('Size of label d ... does not match') when the tt kernel
+    became the default."""
+    import jax
+
+    from topomap_tpu.lora import LoRASpec, build_lora_tree
+    from topomap_tpu.models.attention import cross_attention, xla_attention
+    from topomap_tpu.ops.flash_attention import xla_attention_tt
+
+    d, heads = 32, 4
+    kg = jax.random.PRNGKey(0)
+    p = {
+        name: {"w": _rand((d, d), i + 1) * 0.2, "b": np.zeros(d, np.float32)}
+        for i, name in enumerate(("to_q", "to_k", "to_v", "to_out"))
+    }
+    lora = build_lora_tree({"attn1": p}, LoRASpec.qkv(2, 2), kg)["attn1"]
+    x = _rand((2, 16, d), 9)
+    ctx = _rand((2, 7, d), 10)
+    for context in (None, ctx):
+        ref = cross_attention(p, x, context, heads, lora, attn_fn=xla_attention)
+        out = cross_attention(p, x, context, heads, lora, attn_fn=xla_attention_tt)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

@@ -173,7 +173,14 @@ def cross_attention(
     b, tq, inner = q.shape
     dh = inner // heads
     split = lambda t: t.reshape(b, -1, heads, dh).transpose(0, 2, 1, 3)
-    out = attn_fn(split(q), split(k), split(v))
+    if getattr(attn_fn, "transposed", False):
+        # runtime-LoRA / control paths reach here with standard [B,H,T,Dh] tensors; a
+        # transposed-layout kernel needs explicit layout flips around the call
+        out = attn_fn(
+            split(q).swapaxes(2, 3), split(k).swapaxes(2, 3), split(v).swapaxes(2, 3)
+        ).swapaxes(2, 3)
+    else:
+        out = attn_fn(split(q), split(k), split(v))
     out = out.transpose(0, 2, 1, 3).reshape(b, tq, inner)
     out = lora_dense(p["to_out"], out, lora.get("to_out"))
     if delta is not None and "add_to_output" in tc:
