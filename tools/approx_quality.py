@@ -1,0 +1,92 @@
+"""Approximation-quality probe: PSNR of the opt-in fast modes vs the exact sampler.
+
+Runs the production 50-step sampling at 512² on the real chip four ways — exact CFG,
+lazy-CFG-2, DeepCache-2, DeepCache-3 — from the SAME seed/conditioning, and reports PSNR
+of each approximate output against the exact output. With the simulated-pretrained base
+this measures trajectory divergence of the *architecture* under each approximation (the
+production quality judgment belongs to `evaluate --deep-cache/--cfg-interval` with real
+checkpoints); identical-math modes would give inf.
+
+Usage:  python tools/approx_quality.py   [BATCH=2 STEPS=50 SIZE=512 via env]
+Prints one JSON line {mode: psnr_db}.
+"""
+import contextlib
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_default_prng_impl", "rbg")
+    import jax.numpy as jnp
+
+    from topomap_tpu.core import DDIMConfig, make_schedule
+    from topomap_tpu.ops.flash_attention import best_attention_fn
+    from topomap_tpu.pipeline import (
+        PipelineConfig,
+        init_pipeline,
+        merge_for_sampling,
+        sample,
+        simulate_pretrained,
+    )
+
+    batch = int(os.environ.get("BATCH", "2"))
+    steps = int(os.environ.get("STEPS", "50"))
+    size = int(os.environ.get("SIZE", "512"))
+    cfg = PipelineConfig.sd15_config3()
+    sched = make_schedule(cfg.num_train_timesteps)
+    attn = best_attention_fn()
+
+    print("init...", file=sys.stderr, flush=True)
+    try:
+        ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
+    except Exception:
+        ctx = contextlib.nullcontext()
+    with ctx:
+        params = simulate_pretrained(
+            init_pipeline(jax.random.PRNGKey(0), cfg), jax.random.PRNGKey(1)
+        )
+        params = {k: v for k, v in params.items()
+                  if k in ("unet", "vae", "controlnet", "unet_lora", "ctrl_lora")}
+        params = merge_for_sampling(params)
+    params = jax.device_put(params, jax.devices()[0])
+    jax.block_until_ready(jax.tree.leaves(params)[0])
+
+    seg = jax.random.uniform(jax.random.PRNGKey(5), (batch, size, size, 3))
+    context = jax.random.normal(jax.random.PRNGKey(2), (batch, 77, cfg.unet.context_dim))
+
+    modes = {
+        "exact": DDIMConfig(steps, 7.5),
+        "lazy_cfg_2": DDIMConfig(steps, 7.5, cfg_interval=2),
+        "deepcache_2": DDIMConfig(steps, 7.5, deep_cache_interval=2),
+        "deepcache_3": DDIMConfig(steps, 7.5, deep_cache_interval=3),
+    }
+    outs = {}
+    for name, ddim in modes.items():
+        print(f"sampling {name}...", file=sys.stderr, flush=True)
+        t0 = time.perf_counter()
+        fn = jax.jit(lambda p, r, d=ddim: sample(p, cfg, sched, d, r, seg, context,
+                                                 attn_fn=attn, decode_dtype=jnp.bfloat16))
+        out = jax.device_get(fn(params, jax.random.PRNGKey(0)))
+        outs[name] = out.astype("float32")
+        print(f"  {name}: {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
+
+    import numpy as np
+
+    ref = outs["exact"]
+    result = {}
+    for name, out in outs.items():
+        if name == "exact":
+            continue
+        mse = float(np.mean((out - ref) ** 2))  # images in [-1,1], range 2
+        result[name] = round(10 * np.log10(4.0 / max(mse, 1e-12)), 2)
+    print(json.dumps({"psnr_vs_exact_db": result, "steps": steps, "size": size}))
+
+
+if __name__ == "__main__":
+    main()

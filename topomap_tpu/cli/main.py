@@ -572,6 +572,41 @@ def cmd_compare_runs(args):
     print(f"compared {list(outputs)} -> {args.out}")
 
 
+def cmd_export(args):
+    """Write the (LoRA-merged) model as an LDM-key-space torch checkpoint — the inverse of
+    ``--base-ckpt`` loading; lets a trained/distilled model flow back into the reference
+    ecosystem (``Swisstopo.ckpt``-style state dict, loadable by lllyasviel/ControlNet)."""
+    from topomap_tpu.utils.torch_ckpt import (
+        controlnet_keymap,
+        export_keymap,
+        unet_keymap,
+        vae_keymap,
+    )
+
+    preset, cfg, sched, params, tok, _ = _setup(args)
+    params = _maybe_restore(args, preset, cfg, params)  # merges task LoRA
+    if getattr(args, "distill_ckpt", None):
+        from topomap_tpu.pipeline import merge_for_sampling
+
+        params, meta = _load_distill(args.distill_ckpt, params, cfg)
+        params = merge_for_sampling(params)  # fold student adapters in too
+        print(f"merged distilled student ({meta.get('mode')})")
+    sd = {}
+    sd.update(export_keymap(params["unet"], unet_keymap(cfg.unet)))
+    sd.update(export_keymap(params["vae"], vae_keymap(cfg.vae)))
+    sd.update(export_keymap(params["controlnet"], controlnet_keymap(cfg.unet)))
+    if args.out.endswith(".safetensors"):
+        from safetensors.numpy import save_file
+
+        save_file({k: np.ascontiguousarray(v) for k, v in sd.items()}, args.out)
+    else:
+        import torch
+
+        torch.save({"state_dict": {k: torch.from_numpy(np.array(v, copy=True))
+                                   for k, v in sd.items()}}, args.out)
+    print(f"wrote {args.out} ({len(sd)} tensors)")
+
+
 def cmd_make_data(args):
     from topomap_tpu.data.synthetic import generate_pairs_dataset
 
@@ -694,6 +729,13 @@ def build_parser():
     sp.add_argument("--n", type=int, default=4)
     sp.add_argument("--out", default="compare_runs.png")
     sp.set_defaults(fn=cmd_compare_runs)
+
+    sp = sub.add_parser("export")
+    common(sp)
+    sp.add_argument("--distill-ckpt", default=None,
+                    help="also fold a distilled student's adapters into the trunk")
+    sp.add_argument("--out", default="exported.ckpt", help=".ckpt (torch) or .safetensors")
+    sp.set_defaults(fn=cmd_export)
 
     sp = sub.add_parser("make-data")
     sp.add_argument("--out", required=True)
