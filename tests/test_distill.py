@@ -46,6 +46,21 @@ def _batch(b=2):
     }
 
 
+def test_consistency_timesteps_top_anchored():
+    """The few-step sampling ladder must START (descending) at t=T−1: the pure-noise x_T
+    only matches the training marginal at the top of the trajectory. Regression: the
+    bottom-anchored DDIM ladder put the 1-step eval at t=1 (f of pure noise ≈ noise)."""
+    from topomap_tpu.core import make_consistency_timesteps, make_ddim_timesteps
+
+    for s in (1, 2, 4, 8, 50):
+        ts = make_consistency_timesteps(s, 1000)
+        assert ts[-1] == 999, (s, ts)
+        assert len(ts) == s and (np.diff(ts) > 0).all()
+    np.testing.assert_array_equal(make_consistency_timesteps(4, 1000), [249, 499, 749, 999])
+    # the DDIM train-time ladder stays bottom-anchored (boundary coverage near t=0)
+    assert make_ddim_timesteps(50, 1000)[0] == 1
+
+
 def test_boundary_scalings_identity_at_zero():
     c_skip, c_out = boundary_scalings(jnp.asarray([0, 500]))
     np.testing.assert_allclose(float(c_skip[0]), 1.0)

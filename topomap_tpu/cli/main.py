@@ -196,14 +196,7 @@ def cmd_sample(args):
 
     preset, cfg, sched, params, tok, _ = _setup(args)
     params = _maybe_restore(args, preset, cfg, params)
-    sampler = args.sampler
-    if getattr(args, "distill_ckpt", None):
-        params, meta = _load_distill(args.distill_ckpt, params, cfg)
-        if meta.get("mode") == "consistency":
-            sampler = "consistency"
-        elif sampler == "ddim":
-            args.scale = 1.0  # guidance-distilled student: single-eval DDIM
-        print(f"distilled student ({meta.get('mode')}, w={meta.get('guidance_scale')})")
+    params, sampler, scale, lcm_kwargs = _apply_distill(args, params, cfg, args.sampler)
     seg = np.array(Image.open(args.seg).convert("RGB").resize((args.size, args.size), Image.NEAREST))
     ids, mask = tok.encode([args.prompt])
     batch = {
@@ -216,10 +209,11 @@ def cmd_sample(args):
 
         c = encode_text(params, cfg, batch["ids"], batch["mask"])
         img = sample_consistency(params, cfg, sched, args.ddim_steps,
-                                 jax.random.PRNGKey(args.seed), batch["seg"], c)
+                                 jax.random.PRNGKey(args.seed), batch["seg"], c,
+                                 **lcm_kwargs)
     else:
         img = sample_preview(params, cfg, sched, batch, steps=args.ddim_steps,
-                             scale=args.scale, seed=args.seed,
+                             scale=scale, seed=args.seed,
                              cfg_interval=getattr(args, "cfg_interval", 1),
                              deep_cache_interval=getattr(args, "deep_cache", 1))
     out_img = np.asarray(from_signed(img[0]))
@@ -228,11 +222,13 @@ def cmd_sample(args):
 
 
 def _load_distill(distill_dir, params, cfg):
-    """Overlay a distill run's student adapters: merged trunk + fresh LoRA trees populated
-    from the saved npz files."""
+    """Overlay a distill run's student adapters (EMA preferred) and MERGE them into the
+    trunk — sampling then stays on the merged/transpose-free fast path (runtime adapters
+    measured 2.7× slower per step)."""
     import jax
 
     from topomap_tpu.lora import LoRASpec, build_lora_tree
+    from topomap_tpu.pipeline import merge_for_sampling
     from topomap_tpu.utils.checkpoint import load_filtered
 
     d = Path(distill_dir)
@@ -247,7 +243,26 @@ def _load_distill(distill_dir, params, cfg):
         params = load_filtered(
             params, ema if ema.exists() else d / f"{coll}_step{step}.npz", coll
         )
-    return params, meta
+    return merge_for_sampling(params), meta
+
+
+def _apply_distill(args, params, cfg, sampler):
+    """Shared --distill-ckpt dispatch for sample/evaluate/stylize-sheet: returns
+    (params, sampler, scale, consistency kwargs from the run's meta)."""
+    lcm_kwargs = {}
+    scale = args.scale
+    if getattr(args, "distill_ckpt", None):
+        params, meta = _load_distill(args.distill_ckpt, params, cfg)
+        if meta.get("mode") == "consistency":
+            sampler = "consistency"
+            lcm_kwargs = {
+                "sigma_data": meta.get("sigma_data", 0.5),
+                "timestep_scaling": meta.get("timestep_scaling", 10.0),
+            }
+        elif sampler == "ddim":
+            scale = 1.0  # guidance-distilled student: single-eval DDIM
+        print(f"distilled student ({meta.get('mode')}, w={meta.get('guidance_scale')})")
+    return params, sampler, scale, lcm_kwargs
 
 
 def cmd_distill(args):
@@ -277,16 +292,19 @@ def cmd_distill(args):
         params, OptimConfig("distill", total_steps=args.steps, warmup=max(1, args.steps // 20))
     )
     state = init_distill_state(params, tx, part)
+    from topomap_tpu.ops.flash_attention import best_attention_fn
+
+    step_raw = make_distill_step(
+        cfg, sched, tx, part, dcfg, attn_fn=best_attention_fn(),
+        remat=getattr(args, "remat", False),
+    )
     scan_n = max(1, getattr(args, "scan_steps", 1))
     if scan_n > 1:
         from topomap_tpu.train.trainer import make_train_scan
 
-        step_fn = jax.jit(
-            make_train_scan(make_distill_step(cfg, sched, tx, part, dcfg), scan_n),
-            donate_argnums=0,
-        )
+        step_fn = jax.jit(make_train_scan(step_raw, scan_n), donate_argnums=0)
     else:
-        step_fn = jax.jit(make_distill_step(cfg, sched, tx, part, dcfg))
+        step_fn = jax.jit(step_raw)
 
     records = read_pairs_jsonl(args.data)
     train_recs, _, _ = stratified_split_ratio(records, shuffle_seed=preset.seed)
@@ -367,14 +385,9 @@ def cmd_evaluate(args):
 
     preset, cfg, sched, params, tok, _ = _setup(args)
     params = _maybe_restore(args, preset, cfg, params)
-    sampler = getattr(args, "sampler", "ddim")
-    if getattr(args, "distill_ckpt", None):
-        params, meta = _load_distill(args.distill_ckpt, params, cfg)
-        if meta.get("mode") == "consistency":
-            sampler = "consistency"
-        elif sampler == "ddim":
-            args.scale = 1.0
-        print(f"distilled student ({meta.get('mode')}, w={meta.get('guidance_scale')})")
+    params, sampler, scale, lcm_kwargs = _apply_distill(
+        args, params, cfg, getattr(args, "sampler", "ddim")
+    )
     records = read_pairs_jsonl(args.data)
     lpips_params = None
     if getattr(args, "lpips", False):
@@ -405,10 +418,11 @@ def cmd_evaluate(args):
 
                 c = encode_text(params, cfg, batch["ids"], batch["mask"])
                 img = sample_consistency(params, cfg, sched, args.ddim_steps,
-                                         _jax.random.PRNGKey(args.seed), batch["seg"], c)
+                                         _jax.random.PRNGKey(args.seed), batch["seg"], c,
+                                         **lcm_kwargs)
             else:
                 img = sample_preview(params, cfg, sched, batch, steps=args.ddim_steps,
-                                     scale=args.scale, seed=args.seed,
+                                     scale=scale, seed=args.seed,
                                      cfg_interval=getattr(args, "cfg_interval", 1),
                                      deep_cache_interval=getattr(args, "deep_cache", 1))
             pred = jnp.asarray(np.asarray(from_signed(img[0])), jnp.float32)
@@ -423,12 +437,16 @@ def cmd_evaluate(args):
             if lpips_params is not None:
                 from topomap_tpu.train.losses import lpips_distance
 
-                row["lpips"] = float(
+                # keyed 'lpips_rand': random-init VGG features — a relative perceptual
+                # distance, NOT comparable to published LPIPS numbers
+                row["lpips_rand"] = float(
                     lpips_distance(lpips_params, (pred / 255.0)[None], (gt / 255.0)[None])
                 )
             rows.append(row)
             print(f"{prompt[:40]:40s} mse {rows[-1]['mse']:8.2f} psnr {rows[-1]['psnr']:6.2f}")
-    metric_keys = ["mse", "psnr", "hist_l1"] + (["lpips"] if lpips_params is not None else [])
+    metric_keys = ["mse", "psnr", "hist_l1"] + (
+        ["lpips_rand"] if lpips_params is not None else []
+    )
     means = {k: float(np.mean([r[k] for r in rows])) for k in metric_keys}
     print("means:", json.dumps(means))
     if args.out:
@@ -446,14 +464,7 @@ def cmd_stylize_sheet(args):
 
     preset, cfg, sched, params, tok, _ = _setup(args)
     params = _maybe_restore(args, preset, cfg, params)
-    sampler = args.sampler
-    if getattr(args, "distill_ckpt", None):
-        params, meta = _load_distill(args.distill_ckpt, params, cfg)
-        if meta.get("mode") == "consistency":
-            sampler = "consistency"
-        elif sampler == "ddim":
-            args.scale = 1.0
-        print(f"distilled student ({meta.get('mode')}, w={meta.get('guidance_scale')})")
+    params, sampler, scale, lcm_kwargs = _apply_distill(args, params, cfg, args.sampler)
     sheet = np.array(Image.open(args.sheet).convert("RGB"))
     ids, mask = tok.encode([args.prompt])
 
@@ -466,10 +477,10 @@ def cmd_stylize_sheet(args):
         contours = jnp.asarray(np.array(Image.open(args.contours).convert("RGB")))
     out = stylize_sheet(
         params, cfg, sched, jnp.asarray(sheet), crossattn_fn,
-        tile=args.size, steps=args.ddim_steps, scale=args.scale, seed=args.seed,
+        tile=args.size, steps=args.ddim_steps, scale=scale, seed=args.seed,
         batch_tiles=args.batch_tiles, contours_u8=contours, overlap=args.overlap,
         sampler=sampler, cfg_interval=getattr(args, "cfg_interval", 1),
-        deep_cache_interval=getattr(args, "deep_cache", 1),
+        deep_cache_interval=getattr(args, "deep_cache", 1), **lcm_kwargs,
     )
     Image.fromarray(np.asarray(out)).save(args.out)
     print(f"wrote {args.out} ({out.shape[1]}x{out.shape[0]})")
@@ -586,10 +597,7 @@ def cmd_export(args):
     preset, cfg, sched, params, tok, _ = _setup(args)
     params = _maybe_restore(args, preset, cfg, params)  # merges task LoRA
     if getattr(args, "distill_ckpt", None):
-        from topomap_tpu.pipeline import merge_for_sampling
-
-        params, meta = _load_distill(args.distill_ckpt, params, cfg)
-        params = merge_for_sampling(params)  # fold student adapters in too
+        params, meta = _load_distill(args.distill_ckpt, params, cfg)  # merges adapters
         print(f"merged distilled student ({meta.get('mode')})")
     sd = {}
     sd.update(export_keymap(params["unet"], unet_keymap(cfg.unet)))
@@ -671,6 +679,8 @@ def build_parser():
     sp.add_argument("--save-every", type=int, default=500)
     sp.add_argument("--scan-steps", type=int, default=1,
                     help="distill steps fused per dispatch (lax.scan)")
+    sp.add_argument("--remat", action="store_true",
+                    help="rematerialize student blocks (needed at 512^2 on a 16GB chip)")
     sp.set_defaults(fn=cmd_distill)
 
     sp = sub.add_parser("evaluate")

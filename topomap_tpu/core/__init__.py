@@ -10,12 +10,14 @@ from topomap_tpu.core.consistency import (
     boundary_scalings,
     consistency_fn,
     consistency_sample,
+    make_consistency_timesteps,
 )
 
 __all__ = [
     "boundary_scalings",
     "consistency_fn",
     "consistency_sample",
+    "make_consistency_timesteps",
     "DiffusionSchedule",
     "make_schedule",
     "q_sample",

@@ -24,9 +24,24 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 
-from topomap_tpu.core.schedules import DiffusionSchedule, make_ddim_timesteps
+from topomap_tpu.core.schedules import DiffusionSchedule
 
 DenoiseFn = Callable[[jnp.ndarray, jnp.ndarray, Any], jnp.ndarray]
+
+
+def make_consistency_timesteps(num_steps: int, num_train_timesteps: int = 1000):
+    """TOP-anchored ascending few-step ladder: ``t_i = round((i+1)·T/S) − 1``.
+
+    The FIRST sampling step must evaluate at ``t ≈ T−1`` — the pure-noise x_T the loop
+    starts from only matches the training marginal there. (The DDIM ladder
+    ``make_ddim_timesteps`` is bottom-anchored — max ``(S−1)·(T//S)+1`` — which at S=1
+    would evaluate f(x_T, t=1) on pure noise and return decoded noise.) S=1 → [999];
+    S=4 → [249, 499, 749, 999]; S=50 matches the LCM origin ladder [19, 39, …, 999].
+    """
+    import numpy as np
+
+    t = num_train_timesteps
+    return (np.round(np.arange(1, num_steps + 1) * t / num_steps) - 1).astype(np.int32)
 
 
 def boundary_scalings(
@@ -70,11 +85,11 @@ def consistency_sample(
     """Multistep consistency sampling: ``num_steps`` SINGLE model evaluations total.
 
     ``denoise_fn(x, t[B], cond) -> eps`` is the CFG-free distilled student. Timesteps are
-    the uniform DDIM ladder (descending); each step maps the current latent to an x0
-    estimate via ``f`` and re-noises it to the next lower timestep with FRESH noise
-    (LCM multistep; the last step returns ``f`` directly).
+    the TOP-anchored uniform ladder (descending from ``T−1``); each step maps the current
+    latent to an x0 estimate via ``f`` and re-noises it to the next lower timestep with
+    FRESH noise (LCM multistep; the last step returns ``f`` directly).
     """
-    ts = jnp.asarray(make_ddim_timesteps(num_steps, sched.num_timesteps), jnp.int32)
+    ts = jnp.asarray(make_consistency_timesteps(num_steps, sched.num_timesteps), jnp.int32)
     ab = sched.alphas_cumprod
     b = shape[0]
 

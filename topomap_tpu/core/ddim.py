@@ -69,6 +69,16 @@ def _ddim_tables(sched: DiffusionSchedule, num_steps: int, eta: float):
     )
 
 
+def _ddim_update(x_t, eps, a_t, a_prev, sigma, step_rng):
+    """One DDIM x-update (the LDM ``p_sample_ddim`` math), shared by the exact and
+    deep-cache scan bodies. Returns (x_prev, advanced rng)."""
+    pred_x0 = (x_t - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
+    dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma**2, 0.0)) * eps
+    step_rng, noise_rng = jax.random.split(step_rng)
+    noise = sigma * jax.random.normal(noise_rng, x_t.shape, x_t.dtype)
+    return jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise, step_rng
+
+
 def ddim_sample(
     denoise_fn: DenoiseFn,
     sched: DiffusionSchedule,
@@ -114,7 +124,6 @@ def ddim_sample(
         def step_dc(carry, idx):
             x_t, cache, step_rng = carry
             i = cfg.num_steps - 1 - idx
-            a_t, a_prev, sigma = alphas[i], alphas_prev[i], sigmas[i]
             refresh = (idx % cfg.deep_cache_interval) == 0
             t_b = jnp.full((b,), ts[i], jnp.int32)
             if cfg.guidance_scale == 1.0:
@@ -129,11 +138,9 @@ def ddim_sample(
                 )
                 eps_c, eps_u = eps2[:b], eps2[b:]
                 eps = eps_u + cfg.guidance_scale * (eps_c - eps_u)
-            pred_x0 = (x_t - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
-            dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma**2, 0.0)) * eps
-            step_rng, noise_rng = jax.random.split(step_rng)
-            noise = sigma * jax.random.normal(noise_rng, x_t.shape, x_t.dtype)
-            x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
+            x_prev, step_rng = _ddim_update(
+                x_t, eps, alphas[i], alphas_prev[i], sigmas[i], step_rng
+            )
             return (x_prev, cache, step_rng), None
 
         (x, _, _), _ = jax.lax.scan(step_dc, (x, cache0, rng), jnp.arange(cfg.num_steps))
@@ -169,14 +176,11 @@ def ddim_sample(
         # idx runs 0..S-1 over REVERSED step order (t descending).
         x_t, eps_u_prev, step_rng = carry
         i = cfg.num_steps - 1 - idx
-        a_t, a_prev, sigma = alphas[i], alphas_prev[i], sigmas[i]
         refresh = (idx % cfg.cfg_interval) == 0
         eps, eps_u = model_eps(x_t, ts[i], eps_u_prev, refresh)
-        pred_x0 = (x_t - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
-        dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma**2, 0.0)) * eps
-        step_rng, noise_rng = jax.random.split(step_rng)
-        noise = sigma * jax.random.normal(noise_rng, x_t.shape, x_t.dtype)
-        x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
+        x_prev, step_rng = _ddim_update(
+            x_t, eps, alphas[i], alphas_prev[i], sigmas[i], step_rng
+        )
         return (x_prev, eps_u, step_rng), None
 
     eps_u0 = jnp.zeros(shape, jnp.float32)

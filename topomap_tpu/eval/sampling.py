@@ -156,6 +156,8 @@ def stylize_sheet(
     sampler: str = "ddim",
     cfg_interval: int = 1,
     deep_cache_interval: int = 1,
+    sigma_data: float = 0.5,
+    timestep_scaling: float = 10.0,
 ) -> jnp.ndarray:
     """Stylize a whole map sheet: [H,W,3] uint8 seg → [H,W,3] uint8 stylized.
 
@@ -194,6 +196,7 @@ def stylize_sheet(
             img = sample_consistency(
                 params, cfg, sched, steps, jax.random.PRNGKey(seed + start), chunk, c,
                 control_scales=control_scales, attn_fn=attn_fn,
+                sigma_data=sigma_data, timestep_scaling=timestep_scaling,
             )
         else:
             img = sample(
