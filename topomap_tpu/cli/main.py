@@ -330,7 +330,10 @@ def cmd_distill(args):
                 "sigma_data": dcfg.sigma_data, "timestep_scaling": dcfg.timestep_scaling}
         (out / "distill_meta.json").write_text(json.dumps(meta, indent=1))
 
+    from topomap_tpu.eval.losslog import append_train, load_loss_log, save_loss_curve, save_loss_log
+
     meter = MeterEMA()
+    log = load_loss_log(out / "loss_log.json")
     rng = jax.random.PRNGKey(preset.seed)
     it = ds.iter_batches(batch_size, shuffle=True, seed=preset.seed)
     step_num = 0
@@ -346,14 +349,19 @@ def cmd_distill(args):
             state, m = step_fn(state, chunk, rng)
             losses = [float(x) for x in m["loss"]]
         step_num = int(state.step)
-        for l in losses:
+        for i, l in enumerate(losses):
             ema = meter.update(l)
+            append_train(log, step_num - len(losses) + 1 + i, l, ema)
         if step_num % args.log_every < len(losses) or step_num <= len(losses):
             print(f"step {step_num}: loss {losses[-1]:.5f} ema {ema:.5f} "
                   f"({step_num / (time.time() - t0):.2f} it/s)")
         if step_num % args.save_every < len(losses):
             save(step_num)
+            save_loss_log(log, out / "loss_log.json")
+            save_loss_curve(log, out / "loss_curve.png")
     save(step_num)
+    save_loss_log(log, out / "loss_log.json")
+    save_loss_curve(log, out / "loss_curve.png")
     print(f"distilled student saved under {out}")
 
 
