@@ -28,18 +28,31 @@ def _setup(args):
     from topomap_tpu.pipeline import init_pipeline, make_tokenizers, simulate_pretrained
     from topomap_tpu.utils.torch_ckpt import load_sd_checkpoint, read_torch_file
 
+    import contextlib
+
     preset = get_preset(args.preset)
     cfg = preset.pipeline
     sched = make_schedule(cfg.num_train_timesteps)
-    params = init_pipeline(jax.random.PRNGKey(preset.seed), cfg)
-    if getattr(args, "base_ckpt", None):
-        sd = read_torch_file(args.base_ckpt)
-        params, report = load_sd_checkpoint(params, cfg, sd)
-        print(f"loaded base ckpt: {report['loaded']} tensors, "
-              f"{len(report['missing'])} missing, {len(report['unexpected'])} unexpected")
-    else:
-        params = simulate_pretrained(params, jax.random.PRNGKey(preset.seed + 1))
-        print("no --base-ckpt: using simulated-pretrained base (random weights)")
+    # Init on the host CPU backend and ship the finished tree in ONE device_put — on a
+    # remote-TPU backend per-leaf eager init costs minutes (see bench.py / CLAUDE.md).
+    dev = jax.devices()[0]
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except Exception:
+        cpu = None
+    ctx = jax.default_device(cpu) if (cpu is not None and dev.platform != "cpu") else contextlib.nullcontext()
+    with ctx:
+        params = init_pipeline(jax.random.PRNGKey(preset.seed), cfg)
+        if getattr(args, "base_ckpt", None):
+            sd = read_torch_file(args.base_ckpt)
+            params, report = load_sd_checkpoint(params, cfg, sd)
+            print(f"loaded base ckpt: {report['loaded']} tensors, "
+                  f"{len(report['missing'])} missing, {len(report['unexpected'])} unexpected")
+        else:
+            params = simulate_pretrained(params, jax.random.PRNGKey(preset.seed + 1))
+            print("no --base-ckpt: using simulated-pretrained base (random weights)")
+    if cpu is not None and dev.platform != "cpu":
+        params = jax.device_put(params, dev)
     tok, clip_tok = make_tokenizers(cfg)
     return preset, cfg, sched, params, tok, clip_tok
 
