@@ -27,17 +27,24 @@ H = W = 64
 CIN = COUT = 320
 
 
+ROWS = 16  # rows per grid cell (H/ROWS cells per image)
+
+
 def _conv3_kernel(x_ref, w_ref, o_ref):
-    """x_ref [1, H+2, W+2, CIN] bf16 (pre-padded); w_ref [9, CIN, COUT];
-    o_ref [1, H*W, COUT]."""
-    acc = jnp.zeros((H * W, COUT), jnp.float32)
+    """x_ref [1, H+2, W+2, CIN] bf16 (pre-padded, whole image, batch-indexed);
+    w_ref [9, CIN, COUT]; o_ref [1, ROWS*W, COUT] (row-block indexed).
+    Grid (B, H//ROWS): smaller output blocks pipeline the write-back."""
+    r = pl.program_id(1) * ROWS
+    acc = jnp.zeros((ROWS, W, COUT), jnp.float32)
     for dy in range(3):
         for dx in range(3):
-            xs = x_ref[0, dy:dy + H, dx:dx + W, :].reshape(H * W, CIN)
-            acc += jnp.dot(
-                xs, w_ref[dy * 3 + dx], preferred_element_type=jnp.float32
+            xs = x_ref[0, pl.dslice(r + dy, ROWS), pl.dslice(dx, W), :]
+            acc += jax.lax.dot_general(
+                xs, w_ref[dy * 3 + dx],
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
-    o_ref[0, ...] = acc.astype(o_ref.dtype)
+    o_ref[0, ...] = acc.reshape(ROWS * W, COUT).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -48,12 +55,12 @@ def pallas_conv3(x, w, interpret=False):
     wf = w.reshape(9, CIN, COUT)
     out = pl.pallas_call(
         _conv3_kernel,
-        grid=(b,),
+        grid=(b, H // ROWS),
         in_specs=[
-            pl.BlockSpec((1, H + 2, W + 2, CIN), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((9, CIN, COUT), lambda i: (0, 0, 0)),
+            pl.BlockSpec((1, H + 2, W + 2, CIN), lambda i, j: (i, 0, 0, 0)),
+            pl.BlockSpec((9, CIN, COUT), lambda i, j: (0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, H * W, COUT), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((1, ROWS * W, COUT), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b, H * W, COUT), x.dtype),
         interpret=interpret,
     )(xp.reshape(b, H + 2, W + 2, CIN), wf)
