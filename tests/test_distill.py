@@ -139,6 +139,30 @@ def test_consistency_sample_shapes_and_single_step():
         assert np.isfinite(np.asarray(out)).all()
 
 
+def test_consistency_single_step_semantics():
+    """1-step sampling must be exactly f(x_T, T−1): one model eval at the TOP timestep,
+    boundary-scaled against the initial noise draw."""
+    from topomap_tpu.core import make_schedule
+    from topomap_tpu.core.consistency import consistency_fn, consistency_sample
+
+    sched = make_schedule(1000)
+    shape = (2, 8, 8, 4)
+
+    # deterministic stand-in model; the expected value below is computed at t=999, whose
+    # boundary scalings/alpha differ hugely from any other t — allclose proves the
+    # single eval happened at the top of the trajectory
+    def denoise(x, t, cond):
+        return x * 0.1
+
+    rng = jax.random.PRNGKey(42)
+    out = consistency_sample(denoise, sched, 1, rng, shape, cond=None)
+    _, init_rng = jax.random.split(rng)
+    x_T = jax.random.normal(init_rng, shape, jnp.float32)
+    t_b = jnp.full((2,), 999, jnp.int32)
+    expect = consistency_fn(x_T, t_b, x_T * 0.1, sched.alphas_cumprod[999])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=1e-6)
+
+
 def test_guidance_free_ddim_single_eval_path():
     """A guidance-distilled student samples through the standard DDIM scan at scale 1.0
     (single model call per step) — the drop-in deployment mode."""
