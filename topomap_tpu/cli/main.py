@@ -410,8 +410,14 @@ def cmd_evaluate(args):
         args, params, cfg, getattr(args, "sampler", "ddim")
     )
     records = read_pairs_jsonl(args.data)
-    lpips_params = None
-    if getattr(args, "lpips", False):
+    lpips_params, lpips_key = None, "lpips_rand"
+    if getattr(args, "lpips_vgg", None):
+        from topomap_tpu.utils.vgg_ckpt import load_vgg16_lpips
+
+        # pretrained VGG16 (+ optional lpips lin heads): reference-comparable LPIPS
+        lpips_params = load_vgg16_lpips(args.lpips_vgg, getattr(args, "lpips_lin", None))
+        lpips_key = "lpips"
+    elif getattr(args, "lpips", False):
         import jax as _jax
 
         from topomap_tpu.train.losses import lpips_init
@@ -458,15 +464,16 @@ def cmd_evaluate(args):
             if lpips_params is not None:
                 from topomap_tpu.train.losses import lpips_distance
 
-                # keyed 'lpips_rand': random-init VGG features — a relative perceptual
-                # distance, NOT comparable to published LPIPS numbers
-                row["lpips_rand"] = float(
+                # 'lpips' = pretrained VGG16 (reference-comparable); 'lpips_rand' =
+                # random-init VGG features — relative distance only, NOT comparable
+                # to published LPIPS numbers
+                row[lpips_key] = float(
                     lpips_distance(lpips_params, (pred / 255.0)[None], (gt / 255.0)[None])
                 )
             rows.append(row)
             print(f"{prompt[:40]:40s} mse {rows[-1]['mse']:8.2f} psnr {rows[-1]['psnr']:6.2f}")
     metric_keys = ["mse", "psnr", "hist_l1"] + (
-        ["lpips_rand"] if lpips_params is not None else []
+        [lpips_key] if lpips_params is not None else []
     )
     means = {k: float(np.mean([r[k] for r in rows])) for k in metric_keys}
     print("means:", json.dumps(means))
@@ -547,7 +554,7 @@ def cmd_best_of_n(args):
     from topomap_tpu.pipeline import encode_text
 
     preset, cfg, sched, params, tok, _ = _setup(args)
-    sample_params = _maybe_restore(args, preset, cfg, params)
+    params = _maybe_restore(args, preset, cfg, params)
     seg = np.array(Image.open(args.seg).convert("RGB").resize((args.size, args.size), Image.NEAREST))
     ids, mask = tok.encode([args.prompt])
     crossattn = encode_text(params, cfg, jnp.asarray(ids), jnp.asarray(mask))
@@ -560,7 +567,7 @@ def cmd_best_of_n(args):
         seg_model = (import_keras_seg_unet(args.seg_weights, scfg), scfg)
         print(f"loaded keras segmentation weights from {args.seg_weights}")
     tile, report = generate_best_of_n(
-        sample_params, cfg, sched,
+        params, cfg, sched,
         jnp.asarray(seg[None] / 255.0, jnp.float32), crossattn, seg_model=seg_model,
         num_samples=args.n, steps=args.ddim_steps, scale=args.scale, seed=args.seed,
     )
@@ -713,7 +720,11 @@ def build_parser():
     sp.add_argument("--deep-cache", type=int, default=1)
     sp.add_argument("--distill-ckpt", default=None)
     sp.add_argument("--lpips", action="store_true",
-                    help="add LPIPS column (random-init VGG stand-in unless converted weights)")
+                    help="add lpips_rand column (random-init VGG stand-in)")
+    sp.add_argument("--lpips-vgg", default=None, metavar="VGG16_PTH",
+                    help="torchvision VGG16 state dict -> reference-comparable 'lpips' column")
+    sp.add_argument("--lpips-lin", default=None, metavar="LPIPS_PTH",
+                    help="lpips-package checkpoint with lin{k} head weights (with --lpips-vgg)")
     sp.add_argument("--out", default=None)
     sp.set_defaults(fn=cmd_evaluate)
 

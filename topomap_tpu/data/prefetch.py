@@ -40,6 +40,8 @@ class DevicePrefetcher:
         self._q: queue.Queue = queue.Queue(maxsize=max(1, depth))
         self._err: Optional[BaseException] = None
         self._closed = False
+        self._done = False       # worker has exited (sentinel may or may not be queued)
+        self._finished = False   # consumer saw end-of-stream; latched for repeat calls
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
@@ -51,18 +53,46 @@ class DevicePrefetcher:
                 batch = self._prepare(item)
                 if self._device is not None:
                     batch = jax.device_put(batch, self._device)
-                self._q.put(batch)
+                # Bounded put, re-checking _closed so close() can't race us back into a
+                # full queue after its drain (blocking put here could deadlock forever).
+                while not self._closed:
+                    try:
+                        self._q.put(batch, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
         except BaseException as e:  # surfaced on the consumer side
             self._err = e
         finally:
-            self._q.put(self._END)
+            # Never block on the sentinel: if the queue is full the consumer is either
+            # closing (drain will empty it) or will consume real items first and find
+            # _done via the latch below on the next put attempt.
+            self._done = True
+            try:
+                self._q.put_nowait(self._END)
+            except queue.Full:
+                pass
 
     def __iter__(self):
         return self
 
     def __next__(self):
-        item = self._q.get()
+        if self._finished:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        while True:
+            try:
+                item = self._q.get(timeout=0.1)
+                break
+            except queue.Empty:
+                # Worker finished without managing to enqueue the sentinel (full-queue
+                # race) — treat an empty queue + done worker as end-of-stream.
+                if self._done:
+                    item = self._END
+                    break
         if item is self._END:
+            self._finished = True  # latch: repeated __next__ keeps raising
             if self._err is not None:
                 raise self._err
             raise StopIteration
@@ -76,3 +106,4 @@ class DevicePrefetcher:
                 self._q.get_nowait()
         except queue.Empty:
             pass
+        self._thread.join(timeout=5.0)

@@ -136,7 +136,13 @@ def overlap_positions(extent: int, dim: int, overlap: int) -> list[int]:
     sheet is covered without ragged tails. With ``overlap == 0`` this reduces to the
     disjoint grid of :func:`tile_sheet`.
     """
-    assert 0 <= overlap < dim and extent >= dim, (extent, dim, overlap)
+    if not (0 <= 2 * overlap <= dim):
+        raise ValueError(
+            f"overlap must satisfy 0 <= 2*overlap <= tile dim (got overlap={overlap}, "
+            f"dim={dim}); larger overlaps leave no tile interior to feather into"
+        )
+    if extent < dim:
+        raise ValueError(f"sheet extent {extent} smaller than tile dim {dim}")
     stride = dim - overlap
     pos = list(range(0, extent - dim + 1, stride))
     if pos[-1] != extent - dim:
@@ -168,6 +174,8 @@ def _feather_1d(dim: int, overlap: int) -> jnp.ndarray:
     """
     if overlap == 0:
         return jnp.ones((dim,), jnp.float32)
+    if not (0 <= 2 * overlap <= dim):
+        raise ValueError(f"overlap {overlap} must satisfy 2*overlap <= dim ({dim})")
     ramp = (jnp.arange(1, overlap + 1, dtype=jnp.float32)) / float(overlap + 1)
     return jnp.concatenate([ramp, jnp.ones((dim - 2 * overlap,), jnp.float32), ramp[::-1]])
 

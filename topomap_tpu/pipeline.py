@@ -150,8 +150,9 @@ def simulate_pretrained(params: Params, key, scale: float = 0.02) -> Params:
         new = []
         for l in leaves:
             arr = np.asarray(l)
-            head = arr.ravel()[:256]
-            if not head.any() and not arr.any():  # zero-init leaf
+            # prefix check is a fast reject: np.any doesn't short-circuit on floats,
+            # so scan 256 elements before committing to the full (multi-MB) array
+            if not arr.ravel()[:256].any() and not arr.any():  # zero-init leaf
                 l = jnp.asarray(rng.standard_normal(arr.shape, dtype=np.float32) * scale, l.dtype)
             new.append(l)
         out[coll] = jax.tree.unflatten(treedef, new)

@@ -22,16 +22,20 @@ import numpy as np
 Params = dict[str, Any]
 
 
-_MANAGERS: dict[str, Any] = {}
+_MANAGERS: dict[tuple[str, int], Any] = {}
 
 
 def _mgr(directory: str | Path, max_to_keep: int = 3):
     import orbax.checkpoint as ocp
 
-    key = str(Path(directory).absolute())
+    path = str(Path(directory).absolute())
+    key = (path, max_to_keep)  # retention options are baked into the manager
     if key not in _MANAGERS:
+        stale = [k for k in _MANAGERS if k[0] == path and k != key]
+        for k in stale:  # same dir, different retention: retire the old manager
+            _MANAGERS.pop(k).wait_until_finished()
         _MANAGERS[key] = ocp.CheckpointManager(
-            key,
+            path,
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
         )
     return _MANAGERS[key]
@@ -55,9 +59,10 @@ def save_train_state(
 def wait_for_checkpoints(directory: str | Path | None = None) -> None:
     """Block until pending async checkpoint writes complete (all directories when None)."""
     if directory is not None:
-        key = str(Path(directory).absolute())
-        if key in _MANAGERS:
-            _MANAGERS[key].wait_until_finished()
+        path = str(Path(directory).absolute())
+        for (p, _), mgr in _MANAGERS.items():
+            if p == path:
+                mgr.wait_until_finished()
         return
     for mgr in _MANAGERS.values():
         mgr.wait_until_finished()
