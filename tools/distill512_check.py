@@ -122,12 +122,12 @@ def main():
             # fixed-seed SELF-consistency residual: f(z_hi,t_hi) vs f(ẑ_lo,t_lo) where
             # ẑ_lo is one guided teacher DDIM step down — shrinks as f converges to a
             # true consistency function of the teacher ODE
-            from topomap_tpu.core import make_ddim_timesteps
-            from topomap_tpu.core.consistency import consistency_fn
+            from topomap_tpu.core.consistency import consistency_fn, make_consistency_timesteps
             from topomap_tpu.core.schedules import _extract
 
+            # top-anchored ladder, matching make_consistency_distill_step's training ladder
             ladder = jnp.asarray(
-                make_ddim_timesteps(dcfg.teacher_steps, sched.num_timesteps), jnp.int32
+                make_consistency_timesteps(dcfg.teacher_steps, sched.num_timesteps), jnp.int32
             )
             ab = sched.alphas_cumprod
 

@@ -30,8 +30,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from topomap_tpu.core import DiffusionSchedule, make_ddim_timesteps, q_sample
-from topomap_tpu.core.consistency import consistency_fn
+from topomap_tpu.core import DiffusionSchedule, q_sample
+from topomap_tpu.core.consistency import consistency_fn, make_consistency_timesteps
 from topomap_tpu.core.schedules import _extract
 from topomap_tpu.lora import LoRASpec, build_lora_tree
 from topomap_tpu.pipeline import PipelineConfig, apply_model, encode_text, merge_for_sampling
@@ -215,8 +215,12 @@ def make_consistency_distill_step(
     from topomap_tpu.models.attention import xla_attention
 
     attn_fn = attn_fn or xla_attention
+    # TOP-anchored teacher ladder (max element = T-1), matching the inference ladder of
+    # ``make_consistency_timesteps`` — bottom-anchored DDIM steps would leave every
+    # sampling timestep (critically the t=T-1 first step on pure noise) off the training
+    # distribution (LCM trains on [19,...,999] and samples a subset of it).
     ladder = jnp.asarray(
-        make_ddim_timesteps(dcfg.teacher_steps, sched.num_timesteps), jnp.int32
+        make_consistency_timesteps(dcfg.teacher_steps, sched.num_timesteps), jnp.int32
     )
     ab = sched.alphas_cumprod
 
