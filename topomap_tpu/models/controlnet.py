@@ -62,7 +62,9 @@ def hint_block_apply(p: Params, hint: jnp.ndarray, hint_downscale: int = 8) -> j
     strides = hint_strides(hint_downscale)
     n = len(p["convs"])
     for i, (cp, s) in enumerate(zip(p["convs"], strides)):
-        h = conv(cp, h, stride=s)
+        # stride-2 convs need LDM's symmetric padding=1; at stride 1, "SAME" is the
+        # same thing and keeps the fast 3x3-taps path eligible
+        h = conv(cp, h, stride=s, padding=1 if s > 1 else "SAME")
         if i < n - 1:
             h = silu(h)
     return h

@@ -181,7 +181,9 @@ def unet_encoder_apply(
             if extra_first is not None:
                 h = h + extra_first
         elif "down" in bp:
-            h = conv(bp["down"], h, stride=2)
+            # LDM Downsample: symmetric padding=1 (NOT XLA "SAME", whose (0,1) pad
+            # shifts every window by one pixel at stride 2 — assembled-parity-tested)
+            h = conv(bp["down"], h, stride=2, padding=1)
         else:
             h = res_attn(bp, _idx(lora_blocks, i), h, emb, context)
         hs.append(h)

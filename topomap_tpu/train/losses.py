@@ -166,24 +166,37 @@ def lpips_init(key, width_mult: float = 1.0) -> Params:
             convs.append(conv_init(kg(), c_in, c_out, 3))
             c_in = c_out
         stages.append(convs)
-        heads.append(conv_init(kg(), c_out, 1, 1))
+        # lpips 'lin' heads are non-negative (NetLinLayer clamps at eval) — keeps the
+        # distance ≥ 0 even with random features
+        head = conv_init(kg(), c_out, 1, 1)
+        head["w"] = jnp.abs(head["w"])
+        heads.append(head)
     return {"stages": stages, "heads": heads}
 
 
 def lpips_distance(p: Params, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Perceptual distance between [B,H,W,3] images in [0,1] (scaled to [−1,1] internally,
     LPIPS convention). Unit-normalized per-channel features, squared diff, 1×1 head, spatial
-    mean, summed over stages."""
+    mean, summed over stages.
+
+    With pretrained-VGG16 params from ``utils/vgg_ckpt.py: import_vgg16_lpips`` (which add
+    the lpips ScalingLayer ``shift``/``scale`` entries) this matches the reference's
+    ``LPIPS(net='vgg')`` exactly (``quantitative_metrics.py:162-196``; parity-tested);
+    seeded ``lpips_init`` params remain the self-contained random-feature fallback."""
     a = a * 2.0 - 1.0
     b = b * 2.0 - 1.0
+    if "shift" in p:  # lpips ScalingLayer: (x - shift) / scale on [-1,1] input
+        a = (a - p["shift"]) / p["scale"]
+        b = (b - p["shift"]) / p["scale"]
     total = 0.0
     fa, fb = a, b
     for convs, head in zip(p["stages"], p["heads"]):
         for cp in convs:
             fa = jax.nn.relu(conv(cp, fa))
             fb = jax.nn.relu(conv(cp, fb))
-        na = fa * jax.lax.rsqrt(jnp.sum(fa**2, -1, keepdims=True) + 1e-10)
-        nb = fb * jax.lax.rsqrt(jnp.sum(fb**2, -1, keepdims=True) + 1e-10)
+        # lpips normalize_tensor: feat / (||feat||_ch + 1e-10)
+        na = fa / (jnp.sqrt(jnp.sum(fa**2, -1, keepdims=True)) + 1e-10)
+        nb = fb / (jnp.sqrt(jnp.sum(fb**2, -1, keepdims=True)) + 1e-10)
         d = conv(head, (na - nb) ** 2)
         total = total + jnp.mean(d, axis=(1, 2, 3))
         # stride-2 maxpool between stages
