@@ -149,4 +149,45 @@ def test_load_sd_checkpoint_strict_false_overlay():
         np.asarray(params["unet"]["out_conv"]["w"]),
     )
     assert report["unexpected"] == ["garbage.key"]
-    assert report["loaded"] == 4
+    # 4 UNet time_embed keys + 4 synthesized control_model copies (auto-attach on
+    # plain-SD dicts, see test_attach_control_from_unet)
+    assert report["loaded"] == 8
+    assert report["controlnet_attached_from_unet"] == 4
+
+
+def test_attach_control_from_unet():
+    """tool_add_control equivalent: a plain SD1.5-format dict (no control_model.* keys)
+    yields a ControlNet whose encoder/middle equal the UNet weights, with zero convs
+    still zero (BaseModel/README.docx attach step)."""
+    from topomap_tpu.pipeline import PipelineConfig, init_pipeline
+    from topomap_tpu.utils.torch_ckpt import vae_keymap
+
+    cfg = PipelineConfig.tiny()
+    params = init_pipeline(jax.random.PRNGKey(0), cfg)
+    donor_unet = _randomize(params["unet"])
+    donor_vae = _randomize(params["vae"])
+    sd = export_keymap(donor_unet, unet_keymap(cfg.unet))
+    sd.update(export_keymap(donor_vae, vae_keymap(cfg.vae)))
+    assert not any(k.startswith("control_model.") for k in sd)
+
+    new_params, report = load_sd_checkpoint(params, cfg, sd)
+    assert report["controlnet_attached_from_unet"] > 0
+    cn = new_params["controlnet"]
+    # shared structure copied from the UNet
+    np.testing.assert_allclose(
+        np.asarray(cn["time_embed"]["fc1"]["w"]),
+        np.asarray(donor_unet["time_embed"]["fc1"]["w"]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(cn["middle"]["res1"]["in_conv"]["w"]),
+        np.asarray(donor_unet["middle"]["res1"]["in_conv"]["w"]),
+    )
+    # ControlNet-only parts untouched: zero convs remain exactly zero
+    for zc in cn["zero_convs"]:
+        assert not np.asarray(zc["w"]).any()
+    assert not np.asarray(cn["middle_block_out"]["w"]).any()
+    # the only missing keymap entries are the ControlNet-only ones
+    assert all(
+        ("input_hint_block" in k) or ("zero_convs" in k) or ("middle_block_out" in k)
+        for k in report["missing"]
+    ), report["missing"][:5]

@@ -350,11 +350,39 @@ def read_torch_file(path: str) -> StateDict:
     return {k: v.detach().numpy() if hasattr(v, "detach") else np.asarray(v) for k, v in sd.items()}
 
 
+def attach_control_from_unet(sd: StateDict, cfg) -> tuple[StateDict, int]:
+    """``tool_add_control.py`` equivalent: synthesize ``control_model.*`` keys from
+    ``model.diffusion_model.*`` for a plain-SD checkpoint.
+
+    The reference's documented base-pipeline attach step (``BaseModel/README.docx``)
+    clones a ControlNet onto SD1.5 by copying every UNet weight whose name/shape matches
+    into the control encoder/middle, leaving the ControlNet-only parts (input hint block,
+    zero convs, middle-block-out) at their fresh init — zero convs stay zero, preserving
+    the LDM zero_module contract that the attached model initially reproduces the base.
+    Returns ``(augmented state dict, number of synthesized keys)``.
+    """
+    out = dict(sd)
+    n = 0
+    for ldm_key, *_ in controlnet_keymap(cfg.unet):
+        src = "model.diffusion_model." + ldm_key[len("control_model."):]
+        if ldm_key not in out and src in sd:
+            out[ldm_key] = sd[src]
+            n += 1
+    return out, n
+
+
 def load_sd_checkpoint(params: Params, cfg, sd: StateDict) -> tuple[Params, dict]:
     """Full-checkpoint load with ``strict=False`` overlay (``addlrSD.py:288-291``):
-    UNet + VAE + ControlNet collections from one LDM-format dict. Returns (params, report)."""
+    UNet + VAE + ControlNet collections from one LDM-format dict. Returns (params, report).
+
+    If the dict has no ``control_model.*`` keys (a plain SD1.5 checkpoint, pre
+    ``tool_add_control``), the ControlNet encoder/middle is initialized from the UNet
+    weights via :func:`attach_control_from_unet` — the reference's attach step."""
     report = {}
     params = dict(params)
+    if not any(k.startswith("control_model.") for k in sd):
+        sd, n_attached = attach_control_from_unet(sd, cfg)
+        report["controlnet_attached_from_unet"] = n_attached
     params["unet"], m1, l1 = import_keymap(params["unet"], sd, unet_keymap(cfg.unet))
     params["vae"], m2, l2 = import_keymap(params["vae"], sd, vae_keymap(cfg.vae))
     params["controlnet"], m3, l3 = import_keymap(
