@@ -176,3 +176,28 @@ def test_preview_three_modes_and_cnlora():
 
     img = sample_preview_cnlora(params, cfg, sched, batch, steps=2)
     assert img.shape == (1, 32, 32, 3) and np.isfinite(np.asarray(img)).all()
+
+
+def test_umap_project_separates_clusters_and_is_deterministic():
+    """Self-contained UMAP (eval/umap_impl.py, PromptTest_UMAP.py:252-266 protocol):
+    well-separated high-D clusters stay separated in 2-D; fixed seed is deterministic."""
+    from topomap_tpu.eval.umap_impl import umap_project
+
+    rng = np.random.default_rng(0)
+    centers = rng.normal(0, 10.0, (3, 16))
+    x = np.concatenate([c + rng.normal(0, 0.3, (12, 16)) for c in centers])
+    labels = np.repeat(np.arange(3), 12)
+
+    emb = umap_project(x, n_neighbors=8, seed=42)
+    assert emb.shape == (36, 2) and np.isfinite(emb).all()
+    emb2 = umap_project(x, n_neighbors=8, seed=42)
+    np.testing.assert_array_equal(emb, emb2)
+
+    cents = np.stack([emb[labels == c].mean(0) for c in range(3)])
+    intra = np.mean([np.linalg.norm(emb[labels == c] - cents[c], axis=1).mean() for c in range(3)])
+    inter = np.mean([np.linalg.norm(cents[i] - cents[j]) for i in range(3) for j in range(i + 1, 3)])
+    assert inter > 2.0 * intra, (inter, intra)
+    # nearest-neighbor purity: every point's closest other point shares its cluster
+    d = np.linalg.norm(emb[:, None] - emb[None, :], axis=-1) + np.eye(36) * 1e9
+    purity = np.mean(labels[np.argmin(d, axis=1)] == labels)
+    assert purity > 0.9, purity

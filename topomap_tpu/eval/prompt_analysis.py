@@ -70,11 +70,19 @@ def pca_project(emb: np.ndarray, dims: int = 2) -> np.ndarray:
 
 
 def project_2d(emb: np.ndarray) -> np.ndarray:
-    """UMAP when available (PromptTest_UMAP), PCA fallback."""
+    """UMAP 2-D projection (PromptTest_UMAP.py:252-266): umap-learn when installed,
+    otherwise the self-contained implementation in ``eval/umap_impl.py`` (same
+    algorithm); PCA only as a last-resort fallback."""
     try:
         import umap  # noqa
 
         return umap.UMAP(n_components=2, random_state=42).fit_transform(np.asarray(emb))
+    except Exception:
+        pass
+    try:
+        from topomap_tpu.eval.umap_impl import umap_project
+
+        return umap_project(np.asarray(emb), n_components=2, seed=42)
     except Exception:
         return pca_project(emb, 2)
 
