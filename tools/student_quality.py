@@ -1,0 +1,189 @@
+"""Image-level distilled-student quality: few-step students vs the 50-step exact teacher.
+
+Closes the gap VERDICT r1 flagged: the 8.47 tiles/s claim rested on loss-curve convergence
+only. This tool distills a consistency student and a guidance student from the SAME
+simulated-pretrained config-3 teacher, then samples the SAME seeds/conditioning with
+
+* the exact teacher (50-step DDIM, CFG 7.5) — the reference protocol
+  (``/root/reference/LoRA_modified/quantitative_metrics.py:198-245`` quality loop), and
+* the consistency student at 2/4/8 single evaluations (+ the guidance student at 50
+  CFG-free evaluations),
+
+and reports PSNR / SSIM / MSE of each student output against the teacher output. With the
+simulated-pretrained base this measures distillation fidelity of the *architecture*
+(labeled as such); plug a real checkpoint in with ``CKPT=path`` for product numbers.
+
+Usage:  python tools/student_quality.py
+        [STEPS=400 SCAN=20 BATCH=2 SIZE=512 MODES=consistency,guidance
+         STUDENT_STEPS=2,4,8 CKPT= via env]
+Prints one JSON line at the end.
+"""
+import contextlib
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_default_prng_impl", "rbg")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from topomap_tpu.core import DDIMConfig, make_schedule
+    from topomap_tpu.lora import LoRASpec
+    from topomap_tpu.ops.flash_attention import best_attention_fn
+    from topomap_tpu.pipeline import (
+        PipelineConfig,
+        init_pipeline,
+        make_tokenizers,
+        merge_for_sampling,
+        sample,
+        sample_consistency,
+        simulate_pretrained,
+        encode_text,
+    )
+    from topomap_tpu.train.distill import (
+        DistillConfig,
+        init_distill_state,
+        make_distill_step,
+        prepare_student,
+        teacher_view,
+    )
+    from topomap_tpu.train.losses import ssim_3x3
+    from topomap_tpu.train.optim import OptimConfig, build_optimizer
+    from topomap_tpu.train.trainer import make_train_scan
+
+    steps = int(os.environ.get("STEPS", "400"))
+    scan_steps = int(os.environ.get("SCAN", "20"))
+    batch = int(os.environ.get("BATCH", "2"))
+    size = int(os.environ.get("SIZE", "512"))
+    modes = os.environ.get("MODES", "consistency,guidance").split(",")
+    student_steps = [int(s) for s in os.environ.get("STUDENT_STEPS", "2,4,8").split(",")]
+    teacher_steps = int(os.environ.get("TEACHER_STEPS", "50"))
+
+    cfg = PipelineConfig.sd15_config3()
+    sched = make_schedule(cfg.num_train_timesteps)
+    attn = best_attention_fn()
+
+    print("init teacher on host cpu...", file=sys.stderr, flush=True)
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except Exception:
+        cpu = None
+    with jax.default_device(cpu) if cpu is not None else contextlib.nullcontext():
+        base = simulate_pretrained(init_pipeline(jax.random.PRNGKey(0), cfg), jax.random.PRNGKey(1))
+        base.pop("clip", None)
+        ckpt = os.environ.get("CKPT")
+        if ckpt:
+            from topomap_tpu.utils.torch_ckpt import load_sd_checkpoint, read_torch_file
+
+            base, rep = load_sd_checkpoint(base, cfg, read_torch_file(ckpt))
+            print(f"loaded {ckpt}: {rep['loaded']} tensors", file=sys.stderr)
+
+    # fixed eval conditioning (text encoded on the teacher tree, shared by everyone)
+    tok, _ = make_tokenizers(cfg)
+    prompts = ["Set Forest color to dark green", "Render Road as a dashed line pattern"]
+    ids, mask = tok.encode((prompts * batch)[:batch])
+    rng_np = np.random.default_rng(0)
+    seg_np = rng_np.random((batch, size, size, 3), dtype=np.float32)
+    gt_np = rng_np.random((batch, size, size, 3), dtype=np.float32) * 2.0 - 1.0
+
+    def metrics(img, ref):
+        img = np.asarray(img, np.float32)
+        ref = np.asarray(ref, np.float32)
+        mse = float(np.mean((img - ref) ** 2))  # [-1,1] images, data range 2
+        psnr = round(10 * np.log10(4.0 / max(mse, 1e-12)), 2)
+        ssim = float(ssim_3x3(jnp.asarray((img + 1) / 2), jnp.asarray((ref + 1) / 2)))
+        return {"psnr_db": psnr, "ssim": round(ssim, 4), "mse": round(mse, 6)}
+
+    dev = jax.devices()[0]
+    result = {"size": size, "distill_steps": steps,
+              "base": "simulated_pretrained" if not os.environ.get("CKPT") else "ckpt",
+              "teacher": f"{teacher_steps}-step DDIM CFG 7.5", "students": {}}
+
+    # ---- teacher reference images (sampled once, from the merged teacher) -------------
+    with jax.default_device(cpu) if cpu is not None else contextlib.nullcontext():
+        t_params = merge_for_sampling(dict(base))
+    t_params = jax.device_put(t_params, dev)
+    jax.block_until_ready(jax.tree.leaves(t_params)[0])
+    seg = jnp.asarray(seg_np)
+    ids_j, mask_j = jnp.asarray(ids), jnp.asarray(mask)
+    print("sampling teacher...", file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    c = encode_text(t_params, cfg, ids_j, mask_j)
+    t_fn = jax.jit(lambda p, r: sample(p, cfg, sched, DDIMConfig(teacher_steps, 7.5), r,
+                                       seg, c, attn_fn=attn, decode_dtype=jnp.bfloat16))
+    ref_img = jax.device_get(t_fn(t_params, jax.random.PRNGKey(0))).astype(np.float32)
+    print(f"  teacher: {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
+
+    for mode in modes:
+        dcfg = DistillConfig(mode=mode, lora=LoRASpec.qkvo(16))
+        with jax.default_device(cpu) if cpu is not None else contextlib.nullcontext():
+            params = prepare_student(dict(base), cfg, dcfg, jax.random.PRNGKey(2))
+        params = jax.device_put(params, dev)
+        jax.block_until_ready(jax.tree.leaves(params)[0])
+
+        tx, part = build_optimizer(
+            params, OptimConfig("distill", total_steps=steps, warmup=max(1, steps // 10))
+        )
+        state = init_distill_state(params, tx, part)
+        step_fn = jax.jit(
+            make_train_scan(
+                make_distill_step(cfg, sched, tx, part, dcfg, attn_fn=attn, remat=True),
+                scan_steps,
+            ),
+            donate_argnums=0,
+        )
+        batch_d = {
+            "seg": jnp.tile(jnp.asarray(seg_np)[None], (scan_steps, 1, 1, 1, 1)),
+            "gt": jnp.tile(jnp.asarray(gt_np)[None], (scan_steps, 1, 1, 1, 1)),
+            "ids": jnp.tile(ids_j[None], (scan_steps, 1, 1)),
+            "mask": jnp.tile(mask_j[None], (scan_steps, 1, 1)),
+        }
+        n_scans = (steps + scan_steps - 1) // scan_steps
+        print(f"distilling {mode} ({steps} steps)...", file=sys.stderr, flush=True)
+        rng = jax.random.PRNGKey(7)
+        for i in range(n_scans):
+            t0 = time.perf_counter()
+            state, m = step_fn(state, batch_d, jax.random.fold_in(rng, i))
+            losses = [float(x) for x in jax.device_get(m["loss"])]
+            print(f"  scan {i}: loss {losses[0]:.4f}->{losses[-1]:.4f} "
+                  f"({time.perf_counter()-t0:.1f}s)", file=sys.stderr, flush=True)
+
+        # EMA student, adapters merged -> fast sampling path
+        ema_params = part.combine(state.params, state.ema)
+        s_params = merge_for_sampling(ema_params)
+        entry = {}
+        if mode == "consistency":
+            for n in student_steps:
+                fn = jax.jit(lambda p, r, n=n: sample_consistency(
+                    p, cfg, sched, n, r, seg, c,
+                    attn_fn=attn, decode_dtype=jnp.bfloat16,
+                    sigma_data=dcfg.sigma_data, timestep_scaling=dcfg.timestep_scaling))
+                t0 = time.perf_counter()
+                img = jax.device_get(fn(s_params, jax.random.PRNGKey(0)))
+                entry[f"{n}_step"] = metrics(img, ref_img)
+                entry[f"{n}_step"]["wall_s"] = round(time.perf_counter() - t0, 1)
+                print(f"  {mode} {n}-step: {entry[f'{n}_step']}", file=sys.stderr, flush=True)
+        else:  # guidance: CFG-free DDIM at the teacher's step count
+            fn = jax.jit(lambda p, r: sample(p, cfg, sched, DDIMConfig(teacher_steps, 1.0),
+                                             r, seg, c, attn_fn=attn,
+                                             decode_dtype=jnp.bfloat16))
+            t0 = time.perf_counter()
+            img = jax.device_get(fn(s_params, jax.random.PRNGKey(0)))
+            entry[f"{teacher_steps}_step_cfg_free"] = metrics(img, ref_img)
+            entry[f"{teacher_steps}_step_cfg_free"]["wall_s"] = round(time.perf_counter() - t0, 1)
+            print(f"  {mode}: {entry}", file=sys.stderr, flush=True)
+        result["students"][mode] = entry
+        del state, params, s_params, ema_params
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -3,7 +3,12 @@
 CPU tests exercise the kernels in interpreter mode; this script runs the COMPILED kernels
 on the real TPU at production shapes and asserts they match the XLA reference math. Run
 after any kernel change, before benchmarking.
+
+``--json PATH`` additionally writes a one-object JSON artifact (device, per-check max
+abs error vs atol, overall ok) — committed per round as ``KERNELS_r{N}.json`` so the
+real-chip correctness of the production kernels is a recorded fact, not a claim.
 """
+import json
 import os
 import sys
 
@@ -13,13 +18,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+RESULTS: list[dict] = []
+
 
 def check(name, got, ref, atol):
     got = np.asarray(got, np.float32)
     ref = np.asarray(ref, np.float32)
-    err = np.abs(got - ref).max()
+    err = float(np.abs(got - ref).max())
     ok = err <= atol
     print(f"{'OK ' if ok else 'FAIL'} {name:48s} max|Δ|={err:.3e} (atol {atol})")
+    RESULTS.append({"name": name, "max_abs_err": err, "atol": atol, "ok": ok})
     return ok
 
 
@@ -80,6 +88,18 @@ def main():
         ref = layer_norm(p, x)
         oks.append(check(f"layer_norm {shape}", jax.jit(lambda: layer_norm_fused(p, x))(), ref, 9e-2))
 
+    json_path = None
+    if "--json" in sys.argv:
+        json_path = sys.argv[sys.argv.index("--json") + 1]
+    if json_path:
+        artifact = {
+            "device": f"{dev} ({dev.platform})",
+            "ok": bool(all(oks)),
+            "checks": RESULTS,
+        }
+        with open(json_path, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"wrote {json_path}", file=sys.stderr)
     if not all(oks):
         sys.exit(1)
     print("all kernel checks passed")
