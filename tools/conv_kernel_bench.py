@@ -1,0 +1,96 @@
+"""Per-shape benchmark of ops/conv3x3.py (Pallas) vs XLA conv on the UNet hot shapes.
+
+Usage:
+    PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python tools/conv_kernel_bench.py check
+    python tools/conv_kernel_bench.py bench          [BATCH=8 REPS=50 via env]
+Prints one JSON line mapping shape -> {pallas, xla, speedup} TFLOP/s.
+Timing per CLAUDE.md: scalar-sum + device_get inside a scan (block_until_ready does not
+synchronize small executables on this backend).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from topomap_tpu.ops.conv3x3 import _conv3_fwd, use_pallas_conv3
+
+SHAPES = [
+    # (H, W, CIN, COUT) — UNet levels (batch 8 = CFG-effective batch 4)
+    (64, 64, 640, 320),    # L0 decoder concat convs
+    (32, 32, 640, 640),    # L1
+    (32, 32, 1280, 640),   # L1 decoder
+    (16, 16, 1280, 1280),  # L2
+    (8, 8, 1280, 1280),    # L3 / middle
+    (64, 64, 320, 320),    # L0 (320-ch: misaligned; measured for the record)
+]
+
+
+def xla_conv3(x, w, b):
+    y = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    return y + b
+
+
+def check():
+    import numpy as np
+
+    for (h, wd, cin, cout) in SHAPES[:3]:
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, h, wd, cin), jnp.float32)
+        w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, cin, cout), jnp.float32) * 0.02
+        b = jax.random.normal(jax.random.PRNGKey(2), (cout,), jnp.float32)
+        ref = xla_conv3(x, w, b)
+        out = _conv3_fwd(x, w, b, interpret=True)
+        err = float(jnp.abs(out - ref).max())
+        assert err < 2e-2, (h, wd, cin, cout, err)
+        print(f"ok {h}x{wd}x{cin}->{cout} err {err:.2e}", file=sys.stderr)
+    print(json.dumps({"check": "ok"}))
+
+
+def bench():
+    batch = int(os.environ.get("BATCH", "8"))
+    reps = int(os.environ.get("REPS", "50"))
+    table = {}
+    for (h, wd, cin, cout) in SHAPES:
+        key = f"{h}x{wd}x{cin}->{cout}"
+        table[key] = {}
+        dispatch = use_pallas_conv3((batch, h, wd, cin), (3, 3, cin, cout), 1, "SAME")
+        table[key]["dispatch"] = dispatch
+        for name, fn in (("pallas", lambda a, ww, bb: _conv3_fwd(a, ww, bb)),
+                         ("xla", xla_conv3)):
+            w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, cin, cout), jnp.bfloat16) * 0.02
+            b = jax.random.normal(jax.random.PRNGKey(2), (cout,), jnp.bfloat16)
+
+            @jax.jit
+            def run(x0, w, b):
+                def body(c, _):
+                    y = fn(c, w, b)
+                    # keep shapes fixed for the scan carry when cin != cout
+                    if cin != cout:
+                        y = jnp.concatenate([y, y], -1)[..., :cin] if cout * 2 >= cin else jnp.tile(y, (1, 1, 1, cin // cout))
+                    return y.astype(jnp.bfloat16), None
+
+                return jnp.sum(jax.lax.scan(body, x0, None, length=reps)[0].astype(jnp.float32))
+
+            xs = [jax.random.normal(jax.random.PRNGKey(10 + i), (batch, h, wd, cin), jnp.bfloat16)
+                  for i in range(4)]
+            jax.device_get(run(xs[0], w, b))
+            jax.device_get(run(xs[1], w, b))  # one-time finalization
+            t0 = time.perf_counter()
+            jax.device_get(run(xs[2], w, b))
+            jax.device_get(run(xs[3], w, b))
+            dt = (time.perf_counter() - t0) / 2
+            tf = 2.0 * batch * h * wd * cin * cout * 9 * reps / dt / 1e12
+            table[key][name] = round(tf, 1)
+            print(f"{key} {name}: {tf:.1f} TFLOP/s", file=sys.stderr, flush=True)
+        table[key]["speedup"] = round(table[key]["pallas"] / table[key]["xla"], 3)
+    print(json.dumps(table))
+
+
+if __name__ == "__main__":
+    (check if (len(sys.argv) > 1 and sys.argv[1] == "check") else bench)()
