@@ -108,13 +108,24 @@ def flash_attention(
     return out[:, :tq, :d].reshape(b, h, tq, d)
 
 
-def _attn_kernel_t(qt_ref, kt_ref, vt_ref, ot_ref, *, scale: float):
+def _attn_kernel_t(qt_ref, kt_ref, vt_ref, ot_ref, *, scale: float, exact_max: bool = False):
     """Transposed-layout kernel: head_dim on SUBLANES, tokens on lanes.
 
     qT [dh_pad, blk_q], kT/vT [dh_pad, tk] → oT [dh_pad, blk_q]. All three matmuls contract
     over dims that are naturally multiples of the tile granularity (dh on sublanes: 8-mult
     for fp32; tk on lanes: 128-mult for self-attention), so SD's head_dim 40/80 wastes
-    nothing on the MXU — unlike the lanes-layout kernel where 40 pads to 128 (3.2×)."""
+    nothing on the MXU — unlike the lanes-layout kernel where 40 pads to 128 (3.2×).
+
+    Softmax: at these head dims the kernel is VPU-bound on the [T_k, blk] logits block, so
+    the default skips the max-subtraction pass entirely — softmax is shift-invariant, and
+    for logits in (−80, 60) direct ``exp(clip(l, −80, 60))`` is EXACT while removing a full
+    read+reduce of the block (measured 4191→2344 µs on the 4096-token SD self-attention,
+    batch 8 — tools/attn_variants.py). exp(60)·4096 ≈ 4.7e29 and exp(−80)·128 ≈ 2.3e-33
+    both sit comfortably inside fp32, so no overflow/NaN path exists; logits beyond ±60
+    (|q·k| > 380 at dh 40 — far outside anything SD checkpoints produce; GN-normalized
+    activations give |logits| ≲ 30) degrade gracefully toward uniform attention instead.
+    ``exact_max=True`` (env ``TOPOMAP_SOFTMAX=max``) restores the classic max-subtracted
+    form for A/B checks."""
     qt = qt_ref[0].astype(jnp.float32)  # [dh_pad, blk_q]
     kt = kt_ref[0].astype(jnp.float32)  # [dh_pad, tk]
     vt = vt_ref[0]                      # [dh_pad, tk]
@@ -122,8 +133,11 @@ def _attn_kernel_t(qt_ref, kt_ref, vt_ref, ot_ref, *, scale: float):
     logits_t = jax.lax.dot_general(
         kt, qt, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
-    m = jnp.max(logits_t, axis=0, keepdims=True)
-    p = jnp.exp(logits_t - m).astype(vt.dtype)  # UN-normalized probs [tk, blk_q]
+    if exact_max:
+        m = jnp.max(logits_t, axis=0, keepdims=True)
+        p = jnp.exp(logits_t - m).astype(vt.dtype)  # UN-normalized probs [tk, blk_q]
+    else:
+        p = jnp.exp(jnp.clip(logits_t, -80.0, 60.0)).astype(vt.dtype)
     denom = jnp.sum(p.astype(jnp.float32), axis=0, keepdims=True)
     # oT [dh_pad, blk_q] = vT · probsT  (contract tk: lanes of vT, sublanes of probsT).
     # Normalization happens on the [dh, blk] OUTPUT (tiny) instead of the [tk, blk]
@@ -132,6 +146,23 @@ def _attn_kernel_t(qt_ref, kt_ref, vt_ref, ot_ref, *, scale: float):
         vt, p, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     ot_ref[0] = (ot / denom).astype(ot_ref.dtype)
+
+
+def _use_exact_max() -> bool:
+    import os
+
+    return os.environ.get("TOPOMAP_SOFTMAX", "") == "max"
+
+
+def _pick_block_q(tq_pad: int, tk_pad: int, requested: int) -> int:
+    """Largest q-block whose fp32 logits tile [tk_pad, blk] stays under the ~16 MB scoped
+    VMEM budget, capped at 4096. Bigger blocks amortize per-cell grid overhead — the win is
+    dramatic for small-T_k cross-attention (593→374 µs at T_q 4096 / T_k 128, blk 512→4096)
+    and real but modest for self-attention (4191→2294 µs comes from the softmax change plus
+    blk 512→1024). ``requested`` acts as a lower-bound hint only."""
+    budget = (16 * 1024 * 1024 // 4) // tk_pad
+    blk = max(requested, min(4096, (budget // _LANE) * _LANE))
+    return min(tq_pad, blk)
 
 
 def flash_attention_t(
@@ -151,7 +182,7 @@ def flash_attention_t(
     need_mask = (tk % _LANE) != 0
     d_pad = _round_up(d + (1 if need_mask else 0), sub)
     tk_pad = _round_up(tk, _LANE)
-    blk_q = min(block_q, _round_up(tq, _LANE))
+    blk_q = _pick_block_q(_round_up(tq, _LANE), tk_pad, block_q)
     tq_pad = _round_up(tq, blk_q)
 
     # [B,H,T,D] -> [BH, D_pad, T_pad]
@@ -169,7 +200,7 @@ def flash_attention_t(
 
     grid = (b * h, tq_pad // blk_q)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel_t, scale=scale),
+        functools.partial(_attn_kernel_t, scale=scale, exact_max=_use_exact_max()),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, d_pad, blk_q), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
@@ -315,7 +346,7 @@ def flash_attention_tt(
     need_mask = (tk % _LANE) != 0
     d_pad = _round_up(d + (1 if need_mask else 0), sub)
     tk_pad = _round_up(tk, _LANE)
-    blk_q = min(block_q, _round_up(tq, _LANE))
+    blk_q = _pick_block_q(_round_up(tq, _LANE), tk_pad, block_q)
     tq_pad = _round_up(tq, blk_q)
 
     qp = jnp.pad(qt.reshape(b * h, d, tq), ((0, 0), (0, d_pad - d), (0, tq_pad - tq)))
@@ -327,7 +358,7 @@ def flash_attention_tt(
 
     grid = (b * h, tq_pad // blk_q)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel_t, scale=scale),
+        functools.partial(_attn_kernel_t, scale=scale, exact_max=_use_exact_max()),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, d_pad, blk_q), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
