@@ -87,14 +87,22 @@ def conv_init(key, c_in: int, c_out: int, k: int = 3, zero: bool = False) -> Par
 
 def conv(p: Params, x: jnp.ndarray, stride: int = 1, padding: str | int = "SAME", dtype=None):
     dtype = dtype or x.dtype
+    mode = os.environ.get("TOPOMAP_CONV")
     if (
-        os.environ.get("TOPOMAP_CONV") == "taps"
+        mode == "taps"
         and stride == 1
         and padding == "SAME"
         and p["w"].shape[0] == 3
         and p["w"].shape[1] == 3
     ):
         return _conv3x3_taps(p, x, dtype)
+    if mode == "wino":
+        from topomap_tpu.ops.winograd_conv import use_winograd, wino_conv3x3
+
+        if use_winograd(x.shape, p["w"].shape, stride, padding):
+            return wino_conv3x3(
+                x.astype(dtype), p["w"].astype(dtype), p["b"].astype(dtype)
+            )
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
     y = jax.lax.conv_general_dilated(
