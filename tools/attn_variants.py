@@ -4,10 +4,13 @@ Hypothesis: at head_dim 40 the tt kernel is VPU-bound on softmax — per (bh, q-
 MXU work is ~3.6 us but the [T_k, blk] logits block takes 3-4 full VPU passes (max-reduce,
 subtract+exp, sum-reduce). Variants:
 
-  v0_max    — production kernel (`_attn_kernel_t`): exact max-subtracted softmax.
+  v0_max    — round-1 production kernel (frozen copy): exact max-subtracted softmax,
+              VPU sum-reduce denominator.
   v1_clamp  — replace the max pass with a clamp at +60 (exp<=1.1e26, x4096 keys ~4.7e29,
               well inside fp32); removes one full read+reduce of the logits block.
   v2_bf16   — v1 + exponentials computed in bf16 (2x VPU packing), sum still fp32.
+  v3_prod   — the CURRENT production kernel via the real wrapper: clamp form + scale·log2e
+              folded into q + exp2 + denominator as an MXU ones-row of vT.
 
 Parity is checked against jax.nn.softmax attention; v1/v2 are exact when logits stay
 in (-inf, 60) — SD's scaled logits sit in ~[-30, 30].
@@ -29,7 +32,25 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from topomap_tpu.ops.flash_attention import _attn_kernel_t, _round_up, _LANE
+from topomap_tpu.ops.flash_attention import flash_attention_tt, _round_up, _LANE
+
+
+def _kernel_v0_max(qt_ref, kt_ref, vt_ref, ot_ref, *, scale: float):
+    """Round-1 production kernel (frozen here for A/B): scale on the logits block,
+    max-subtracted exp, VPU sum-reduce denominator."""
+    qt = qt_ref[0].astype(jnp.float32)
+    kt = kt_ref[0].astype(jnp.float32)
+    vt = vt_ref[0]
+    logits_t = jax.lax.dot_general(
+        kt, qt, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    m = jnp.max(logits_t, axis=0, keepdims=True)
+    p = jnp.exp(logits_t - m).astype(vt.dtype)
+    denom = jnp.sum(p.astype(jnp.float32), axis=0, keepdims=True)
+    ot = jax.lax.dot_general(
+        vt, p, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ot_ref[0] = (ot / denom).astype(ot_ref.dtype)
 
 # (B, H, Dh, Tq, Tk): SD1.5 self-attention levels at batch 8 (CFG-effective 4x2)
 SHAPES = [
@@ -90,13 +111,16 @@ def run_tt(qt, kt, vt, kernel, block_q=512, interpret=False):
 
 
 VARIANTS = {
-    "v0_max": (_attn_kernel_t, 512),
+    "v0_max": (_kernel_v0_max, 512),
     "v1_clamp": (functools.partial(_kernel_clamp, exp_bf16=False), 512),
     "v2_bf16": (functools.partial(_kernel_clamp, exp_bf16=True), 512),
     "v1_blk1024": (functools.partial(_kernel_clamp, exp_bf16=False), 1024),
     "v1_blk2048": (functools.partial(_kernel_clamp, exp_bf16=False), 2048),
-    "v0_blk2048": (_attn_kernel_t, 2048),
-    "v0_blk4096": (_attn_kernel_t, 4096),
+    "v0_blk2048": (_kernel_v0_max, 2048),
+    "v0_blk4096": (_kernel_v0_max, 4096),
+    # v3 = shipped kernel (folded scale·log2e into q, exp2, MXU ones-row denominator);
+    # benchmarked through the production wrapper, which picks its own block size.
+    "v3_prod": ("PROD", 0),
 }
 
 
@@ -123,7 +147,10 @@ def check():
         qt, kt, vt = make_qkv(b, h, d, tq, tk, jnp.float32)
         ref = ref_attn(qt, kt, vt)
         for name, (kern, _blk) in VARIANTS.items():
-            out = run_tt(qt, kt, vt, kern, interpret=True)
+            if kern == "PROD":
+                out = flash_attention_tt(qt, kt, vt, interpret=True)
+            else:
+                out = run_tt(qt, kt, vt, kern, interpret=True)
             err = float(jnp.abs(out.astype(jnp.float32) - ref).max())
             tol = 3e-2 if name == "v2_bf16" else 2e-4
             assert err < tol, (name, tq, tk, err)
@@ -143,14 +170,17 @@ def bench():
                 continue
             # scoped-vmem guard: fp32 logits block must stay under ~16MB
             tkp = _round_up(tk, _LANE)
-            if tkp * min(blk, tq) * 4 > 16 * 1024 * 1024:
+            if kern != "PROD" and tkp * min(blk, tq) * 4 > 16 * 1024 * 1024:
                 continue
             qt, kt, vt = make_qkv(b, h, d, tq, tk)
 
             @jax.jit
             def run(qt, kt, vt):
                 def body(c, _):
-                    o = run_tt(c, kt, vt, kern, block_q=blk)
+                    if kern == "PROD":
+                        o = flash_attention_tt(c, kt, vt)
+                    else:
+                        o = run_tt(c, kt, vt, kern, block_q=blk)
                     return o.astype(jnp.bfloat16), None
 
                 return jnp.sum(jax.lax.scan(body, qt, None, length=reps)[0].astype(jnp.float32))

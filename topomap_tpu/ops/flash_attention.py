@@ -108,7 +108,12 @@ def flash_attention(
     return out[:, :tq, :d].reshape(b, h, tq, d)
 
 
-def _attn_kernel_t(qt_ref, kt_ref, vt_ref, ot_ref, *, scale: float, exact_max: bool = False):
+_LOG2E = 1.4426950408889634
+
+
+def _attn_kernel_t(
+    qt_ref, kt_ref, vt_ref, ot_ref, *, scale: float, denom_row: int, exact_max: bool = False
+):
     """Transposed-layout kernel: head_dim on SUBLANES, tokens on lanes.
 
     qT [dh_pad, blk_q], kT/vT [dh_pad, tk] → oT [dh_pad, blk_q]. All three matmuls contract
@@ -117,35 +122,48 @@ def _attn_kernel_t(qt_ref, kt_ref, vt_ref, ot_ref, *, scale: float, exact_max: b
     nothing on the MXU — unlike the lanes-layout kernel where 40 pads to 128 (3.2×).
 
     Softmax: at these head dims the kernel is VPU-bound on the [T_k, blk] logits block, so
-    the default skips the max-subtraction pass entirely — softmax is shift-invariant, and
-    for logits in (−80, 60) direct ``exp(clip(l, −80, 60))`` is EXACT while removing a full
-    read+reduce of the block (measured 4191→2344 µs on the 4096-token SD self-attention,
-    batch 8 — tools/attn_variants.py). exp(60)·4096 ≈ 4.7e29 and exp(−80)·128 ≈ 2.3e-33
-    both sit comfortably inside fp32, so no overflow/NaN path exists; logits beyond ±60
-    (|q·k| > 380 at dh 40 — far outside anything SD checkpoints produce; GN-normalized
-    activations give |logits| ≲ 30) degrade gracefully toward uniform attention instead.
+    every full-block VPU pass that can move elsewhere does:
+
+    * **no max pass** — softmax is shift-invariant, and for logits in (−80, 60) direct
+      ``exp(clip(l))`` is EXACT while removing a full read+reduce of the block (measured
+      4191→2344 µs on the 4096-token SD self-attention, batch 8 — tools/attn_variants.py).
+      exp(60)·4096 ≈ 4.7e29 and exp(−80)·128 ≈ 2.3e-33 both sit comfortably inside fp32,
+      so no overflow/NaN path exists; logits beyond ±60 (|q·k| > 380 at dh 40 — far outside
+      anything SD checkpoints produce; GN-normalized activations give |logits| ≲ 30) degrade
+      gracefully toward uniform attention instead.
+    * **no scale pass** — the 1/√dh softmax scale (and the exp→exp2 base conversion log₂e)
+      is folded into the TINY [dh, blk] q block before the matmul instead of multiplying
+      the [tk, blk] logits block after it, and the VPU computes ``exp2`` directly (exp
+      lowers to exp2·log₂e anyway — this makes the conversion multiply free).
+    * **no sum-reduce pass** — the wrapper plants a row of ONES in an unused padded
+      sublane row of vT (``denom_row``), so the existing probs·V matmul emits
+      ``Σ_k p`` as one extra OUTPUT row on the MXU for free; normalization then divides
+      the tiny [dh, blk] output block.
+
     ``exact_max=True`` (env ``TOPOMAP_SOFTMAX=max``) restores the classic max-subtracted
-    form for A/B checks."""
-    qt = qt_ref[0].astype(jnp.float32)  # [dh_pad, blk_q]
+    ``exp`` form for A/B checks (denominator still rides the MXU ones-row)."""
+    if exact_max:
+        qt = qt_ref[0].astype(jnp.float32) * scale          # [dh_pad, blk_q]
+    else:
+        qt = qt_ref[0].astype(jnp.float32) * (scale * _LOG2E)
     kt = kt_ref[0].astype(jnp.float32)  # [dh_pad, tk]
-    vt = vt_ref[0]                      # [dh_pad, tk]
+    vt = vt_ref[0]                      # [dh_pad, tk]  (row `denom_row` = ones)
     # logitsT [tk, blk_q] = kT^T · qT  (contract dh on sublanes of both)
     logits_t = jax.lax.dot_general(
         kt, qt, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
+    )
     if exact_max:
         m = jnp.max(logits_t, axis=0, keepdims=True)
         p = jnp.exp(logits_t - m).astype(vt.dtype)  # UN-normalized probs [tk, blk_q]
     else:
-        p = jnp.exp(jnp.clip(logits_t, -80.0, 60.0)).astype(vt.dtype)
-    denom = jnp.sum(p.astype(jnp.float32), axis=0, keepdims=True)
-    # oT [dh_pad, blk_q] = vT · probsT  (contract tk: lanes of vT, sublanes of probsT).
-    # Normalization happens on the [dh, blk] OUTPUT (tiny) instead of the [tk, blk]
-    # probability block — saves a full VPU pass over T_k×blk elements per block.
+        # base-2 logits: clip bounds are the (−80, 60) natural-log bounds × log₂e.
+        p = jnp.exp2(jnp.clip(logits_t, -115.0, 86.6)).astype(vt.dtype)
+    # oT [dh_pad, blk_q] = vT · probsT  (contract tk: lanes of vT, sublanes of probsT);
+    # row `denom_row` of oT is Σ_k p thanks to the ones row of vT.
     ot = jax.lax.dot_general(
         vt, p, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    ot_ref[0] = (ot / denom).astype(ot_ref.dtype)
+    ot_ref[0] = (ot / ot[denom_row : denom_row + 1, :]).astype(ot_ref.dtype)
 
 
 def _use_exact_max() -> bool:
@@ -180,7 +198,9 @@ def flash_attention_t(
     sub = 8  # fp32 sublane granularity; bf16 inputs are upcast per-block inside the kernel
 
     need_mask = (tk % _LANE) != 0
-    d_pad = _round_up(d + (1 if need_mask else 0), sub)
+    # Always reserve one padded sublane row past d: the mask sentinel lives there in q/k,
+    # and the denominator ones-row lives there in v (independent tensors, same row).
+    d_pad = _round_up(d + 1, sub)
     tk_pad = _round_up(tk, _LANE)
     blk_q = _pick_block_q(_round_up(tq, _LANE), tk_pad, block_q)
     tq_pad = _round_up(tq, blk_q)
@@ -192,7 +212,7 @@ def flash_attention_t(
 
     qt = t_pad(q, tq, tq_pad)
     kt = t_pad(k, tk, tk_pad)
-    vt = t_pad(v, tk, tk_pad)
+    vt = t_pad(v, tk, tk_pad).at[:, d, :].set(1.0)  # denominator ones-row (see kernel)
     if need_mask:
         # sentinel row d: 1 in q, -1e9/scale in padded k slots → padded keys get -inf logits
         qt = qt.at[:, d, :tq].set(1.0)
@@ -200,7 +220,9 @@ def flash_attention_t(
 
     grid = (b * h, tq_pad // blk_q)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel_t, scale=scale, exact_max=_use_exact_max()),
+        functools.partial(
+            _attn_kernel_t, scale=scale, denom_row=d, exact_max=_use_exact_max()
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, d_pad, blk_q), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
@@ -344,7 +366,9 @@ def flash_attention_tt(
     sub = 8
 
     need_mask = (tk % _LANE) != 0
-    d_pad = _round_up(d + (1 if need_mask else 0), sub)
+    # One padded sublane row past d is always reserved: mask sentinel in q/k, denominator
+    # ones-row in v (see _attn_kernel_t).
+    d_pad = _round_up(d + 1, sub)
     tk_pad = _round_up(tk, _LANE)
     blk_q = _pick_block_q(_round_up(tq, _LANE), tk_pad, block_q)
     tq_pad = _round_up(tq, blk_q)
@@ -352,13 +376,16 @@ def flash_attention_tt(
     qp = jnp.pad(qt.reshape(b * h, d, tq), ((0, 0), (0, d_pad - d), (0, tq_pad - tq)))
     kp = jnp.pad(kt.reshape(b * h, d, tk), ((0, 0), (0, d_pad - d), (0, tk_pad - tk)))
     vp = jnp.pad(vt.reshape(b * h, d, tk), ((0, 0), (0, d_pad - d), (0, tk_pad - tk)))
+    vp = vp.at[:, d, :].set(1.0)
     if need_mask:
         qp = qp.at[:, d, :tq].set(1.0)
         kp = kp.at[:, d, tk:].set(-1e9 / scale)
 
     grid = (b * h, tq_pad // blk_q)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel_t, scale=scale, exact_max=_use_exact_max()),
+        functools.partial(
+            _attn_kernel_t, scale=scale, denom_row=d, exact_max=_use_exact_max()
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, d_pad, blk_q), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
@@ -485,6 +512,7 @@ def best_attention_fn():
     transposed pallas on TPU; override with ``TOPOMAP_ATTN=xla|pallas|pallas_tt``. The
     attention code falls back to the standard layout automatically where the transposed
     path doesn't apply (runtime LoRA trees present).
+
     """
     import os
 
