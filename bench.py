@@ -9,13 +9,31 @@ each step one batched-2B (cond+uncond CFG) UNet+ControlNet forward in bfloat16 w
 Pallas attention kernel, followed by the VAE decode — everything on device.
 
 Env knobs: BENCH_BATCH (default 4), BENCH_STEPS (default 50), BENCH_REPS (default 3),
-BENCH_TINY=1 (smoke-test geometry for debugging).
+BENCH_TINY=1 (smoke-test geometry for debugging), BENCH_KV_DS=f (opt-in ToDo K/V pooling
+at high-res self-attention levels), BENCH_COMPILER_OPTS ("k=v,k=v" XLA
+options forwarded to jax.jit(compiler_options=...) — the axon backend accepts TPU flags
+here that the local XLA_FLAGS parser rejects, e.g. xla_tpu_scoped_vmem_limit_kib=65536).
 """
 import contextlib
 import json
 import os
 import sys
 import time
+
+
+def _compiler_options():
+    """Parse BENCH_COMPILER_OPTS into a jax.jit compiler_options dict (ints auto-typed)."""
+    raw = os.environ.get("BENCH_COMPILER_OPTS", "").strip()
+    if not raw:
+        return None
+    opts = {}
+    for kv in raw.split(","):
+        k, _, v = kv.partition("=")
+        try:
+            opts[k.strip()] = int(v)
+        except ValueError:
+            opts[k.strip()] = v.strip()
+    return opts
 
 
 def main():
@@ -60,6 +78,11 @@ def main():
         from topomap_tpu.models.attention import xla_attention as attn_fn
     else:
         attn_fn = best_attention_fn()
+    kv_ds = int(os.environ.get("BENCH_KV_DS", "1"))
+    if kv_ds > 1:  # opt-in ToDo K/V pooling (approximate; see models.attention)
+        from topomap_tpu.models.attention import with_kv_downsample
+
+        attn_fn = with_kv_downsample(attn_fn, kv_ds)
 
     print(f"bench: init params ({'tiny' if tiny else 'sd15'})...", file=sys.stderr, flush=True)
     # Init on host CPU: the init path is thousands of tiny ops — on a remote-TPU backend each
@@ -107,7 +130,7 @@ def main():
             return sample(params, cfg, sched, ddim, rng, seg, context, attn_fn=attn_fn,
                           decode_dtype=decode_dtype)
 
-    run_jit = jax.jit(run)
+    run_jit = jax.jit(run, compiler_options=_compiler_options())
     print("bench: compiling...", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     out = run_jit(params, jax.random.PRNGKey(0))
@@ -180,6 +203,7 @@ def bench_train():
             scan_steps,
         ),
         donate_argnums=0,
+        compiler_options=_compiler_options(),
     )
     tok, _ = make_tokenizers(cfg)
     ids, mask = tok.encode(["Set Forest color to dark green"] * batch)

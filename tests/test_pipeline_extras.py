@@ -216,3 +216,47 @@ def test_sample_with_deep_cache_interval():
     # interval 2 refreshes on steps 0 and 2; steps 1/3 reuse → differs from exact but stays
     # in the same range on the tiny model
     assert float(jnp.abs(dc - exact).mean()) < 1.0
+
+
+def test_avgpool_tokens_matches_manual():
+    from topomap_tpu.models.attention import _avgpool_tokens
+
+    t = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 8))  # 4x4 spatial
+    manual = t.reshape(2, 2, 2, 2, 2, 8).mean(axis=(2, 4)).reshape(2, 4, 8)
+    assert np.allclose(np.asarray(_avgpool_tokens(t, 4, 4, 2)), np.asarray(manual), atol=1e-6)
+
+
+def test_kv_downsample_todo_sampling():
+    """ToDo K/V pooling (with_kv_downsample): inert above threshold, well-behaved below."""
+    from topomap_tpu.models.attention import with_kv_downsample, xla_attention
+
+    params = _params()
+    tok, _ = make_tokenizers(CFG)
+    ids, mask = tok.encode(["Set Forest color to dark green"])
+    c = encode_text(params, CFG, jnp.asarray(ids), jnp.asarray(mask))
+    seg = jnp.zeros((1, 32, 32, 3))
+    ddim = DDIMConfig(2, 7.5)
+    rng = jax.random.PRNGKey(0)
+    exact = sample(params, CFG, SCHED, ddim, rng, seg, c)
+    # threshold above every level -> the wrapper must be exactly inert
+    inert = sample(params, CFG, SCHED, ddim, rng, seg, c,
+                   attn_fn=with_kv_downsample(xla_attention, 2, min_tokens=10_000))
+    assert np.array_equal(np.asarray(inert), np.asarray(exact))
+    # active at the 64-token level: output keeps shape, stays finite, differs from exact
+    todo = sample(params, CFG, SCHED, ddim, rng, seg, c,
+                  attn_fn=with_kv_downsample(xla_attention, 2, min_tokens=16))
+    todo_np = np.asarray(todo)
+    assert todo_np.shape == exact.shape and np.isfinite(todo_np).all()
+    assert not np.array_equal(todo_np, np.asarray(exact))
+    assert float(jnp.abs(todo - exact).mean()) < 1.0
+
+
+def test_kv_downsample_env_knob(monkeypatch):
+    from topomap_tpu.ops.flash_attention import best_attention_fn
+
+    monkeypatch.setenv("TOPOMAP_KV_DS", "2:256")
+    fn = best_attention_fn()
+    assert getattr(fn, "kv_ds", 0) == 2 and fn.kv_ds_min_tokens == 256
+    monkeypatch.setenv("TOPOMAP_KV_DS", "4")
+    fn = best_attention_fn()
+    assert fn.kv_ds == 4 and fn.kv_ds_min_tokens == 1024

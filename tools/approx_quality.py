@@ -60,18 +60,28 @@ def main():
     seg = jax.random.uniform(jax.random.PRNGKey(5), (batch, size, size, 3))
     context = jax.random.normal(jax.random.PRNGKey(2), (batch, 77, cfg.unet.context_dim))
 
+    from topomap_tpu.models.attention import with_kv_downsample
+
+    exact = DDIMConfig(steps, 7.5)
     modes = {
-        "exact": DDIMConfig(steps, 7.5),
-        "lazy_cfg_2": DDIMConfig(steps, 7.5, cfg_interval=2),
-        "deepcache_2": DDIMConfig(steps, 7.5, deep_cache_interval=2),
-        "deepcache_3": DDIMConfig(steps, 7.5, deep_cache_interval=3),
+        "exact": (exact, attn),
+        "lazy_cfg_2": (DDIMConfig(steps, 7.5, cfg_interval=2), attn),
+        "deepcache_2": (DDIMConfig(steps, 7.5, deep_cache_interval=2), attn),
+        "deepcache_3": (DDIMConfig(steps, 7.5, deep_cache_interval=3), attn),
+        "kv_ds_2": (exact, with_kv_downsample(attn, 2)),
+        "kv_ds_2_deepcache_2": (DDIMConfig(steps, 7.5, deep_cache_interval=2),
+                                with_kv_downsample(attn, 2)),
     }
+    only = os.environ.get("MODES")
+    if only:
+        keep = set(only.split(",")) | {"exact"}
+        modes = {k: v for k, v in modes.items() if k in keep}
     outs = {}
-    for name, ddim in modes.items():
+    for name, (ddim, afn) in modes.items():
         print(f"sampling {name}...", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
-        fn = jax.jit(lambda p, r, d=ddim: sample(p, cfg, sched, d, r, seg, context,
-                                                 attn_fn=attn, decode_dtype=jnp.bfloat16))
+        fn = jax.jit(lambda p, r, d=ddim, a=afn: sample(p, cfg, sched, d, r, seg, context,
+                                                        attn_fn=a, decode_dtype=jnp.bfloat16))
         out = jax.device_get(fn(params, jax.random.PRNGKey(0)))
         outs[name] = out.astype("float32")
         print(f"  {name}: {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)

@@ -21,7 +21,13 @@ import numpy as np
 
 
 def _setup(args):
+    import os
+
     import jax
+
+    if (getattr(args, "kv_downsample", 0) or 0) > 1:
+        # consumed by ops.flash_attention.best_attention_fn (ToDo K/V pooling, opt-in)
+        os.environ["TOPOMAP_KV_DS"] = str(args.kv_downsample)
 
     from topomap_tpu.configs.presets import get_preset
     from topomap_tpu.core import make_schedule
@@ -689,6 +695,8 @@ def build_parser():
                     help="lazy-CFG: refresh uncond eps every k-th step (1 = exact)")
     sp.add_argument("--deep-cache", type=int, default=1,
                     help="DeepCache: refresh the deep trunk every k-th step (1 = exact)")
+    sp.add_argument("--kv-downsample", type=int, default=1,
+                    help="ToDo: pool self-attention K/V by f×f at high-res levels (1 = exact)")
     sp.add_argument("--distill-ckpt", default=None,
                     help="distill run dir: overlay student adapters + use its sampling mode")
     sp.set_defaults(fn=cmd_sample)
@@ -718,6 +726,7 @@ def build_parser():
     sp.add_argument("--sampler", choices=["ddim", "consistency"], default="ddim")
     sp.add_argument("--cfg-interval", type=int, default=1)
     sp.add_argument("--deep-cache", type=int, default=1)
+    sp.add_argument("--kv-downsample", type=int, default=1)
     sp.add_argument("--distill-ckpt", default=None)
     sp.add_argument("--lpips", action="store_true",
                     help="add lpips_rand column (random-init VGG stand-in)")
@@ -739,6 +748,7 @@ def build_parser():
     sp.add_argument("--sampler", choices=["ddim", "consistency"], default="ddim")
     sp.add_argument("--cfg-interval", type=int, default=1)
     sp.add_argument("--deep-cache", type=int, default=1)
+    sp.add_argument("--kv-downsample", type=int, default=1)
     sp.add_argument("--distill-ckpt", default=None,
                     help="distill run dir: overlay student adapters + use its sampling mode")
     sp.add_argument("--out", default="sheet_styled.png")

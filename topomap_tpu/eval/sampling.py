@@ -51,7 +51,7 @@ def sample_preview(
 ) -> jnp.ndarray:
     """Returns decoded images [B,H,W,3] in [−1,1]. ``cfg_interval`` / ``deep_cache_interval``
     are the opt-in approximate speed knobs (lazy CFG / DeepCache — see ``DDIMConfig``)."""
-    from topomap_tpu.models.attention import xla_attention
+    from topomap_tpu.ops.flash_attention import best_attention_fn
 
     c = encode_text(params, cfg, batch["ids"], batch["mask"])
     return sample(
@@ -63,7 +63,7 @@ def sample_preview(
         jax.random.PRNGKey(seed),
         batch["seg"],
         c,
-        attn_fn=attn_fn or xla_attention,
+        attn_fn=attn_fn or best_attention_fn(),
     )
 
 
@@ -173,10 +173,10 @@ def stylize_sheet(
     ``sampler="consistency"`` uses the few-step distilled student (``steps`` single
     evals/tile); ``cfg_interval``/``deep_cache_interval`` are the opt-in DDIM speed knobs.
     """
-    from topomap_tpu.models.attention import xla_attention
+    from topomap_tpu.ops.flash_attention import best_attention_fn
     from topomap_tpu.pipeline import sample_consistency
 
-    attn_fn = attn_fn or xla_attention
+    attn_fn = attn_fn or best_attention_fn()
     h, w = sheet_seg_u8.shape[:2]
     rows, cols = h // tile, w // tile
     if overlap > 0:

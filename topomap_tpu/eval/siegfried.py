@@ -41,9 +41,9 @@ def generate_best_of_n(
     tile directly (exact-color mask), which preserves the vote mechanics without the
     external U-Net weights.
     """
-    from topomap_tpu.models.attention import xla_attention
 
-    attn_fn = attn_fn or xla_attention
+    from topomap_tpu.ops.flash_attention import best_attention_fn
+    attn_fn = attn_fn or best_attention_fn()
     n = num_samples
     seg_n = jnp.tile(seg, (n, 1, 1, 1))
     ctx_n = jnp.tile(crossattn, (n, 1, 1))

@@ -31,6 +31,35 @@ from topomap_tpu.models.nn import (
 AttnFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
 
+def with_kv_downsample(attn_fn: AttnFn, factor: int, min_tokens: int = 1024) -> AttnFn:
+    """Opt-in ToDo-style self-attention K/V token downsampling (arXiv:2402.13573).
+
+    Returns a copy of ``attn_fn`` carrying ``kv_ds``/``kv_ds_min_tokens`` attributes that
+    :func:`spatial_transformer` reads: at spatial levels with ≥ ``min_tokens`` tokens, the
+    self-attention keys/values are computed from a ``factor×factor`` average-pooled copy of
+    the hidden states while queries stay full-resolution — the output keeps its exact shape
+    and no un-merge is needed (unlike ToMe's bipartite matching, which is gather-heavy and
+    dynamic; pooling is static-shaped and XLA/Pallas-friendly). Cuts the dominant
+    4096-token self-attention logits/PV cost by ``factor²``. Approximate — same opt-in
+    contract as DeepCache/lazy-CFG (``DDIMConfig.deep_cache_interval``); cross-attention
+    and low-res levels are untouched.
+    """
+    import functools
+
+    wrapped = functools.wraps(attn_fn)(lambda q, k, v: attn_fn(q, k, v))
+    wrapped.transposed = getattr(attn_fn, "transposed", False)
+    wrapped.kv_ds = int(factor)
+    wrapped.kv_ds_min_tokens = int(min_tokens)
+    return wrapped
+
+
+def _avgpool_tokens(t: jnp.ndarray, hh: int, ww: int, f: int) -> jnp.ndarray:
+    """[B, hh*ww, C] → [B, (hh/f)*(ww/f), C] via f×f spatial mean (fp32 accumulate)."""
+    b, _, c = t.shape
+    pooled = t.reshape(b, hh // f, f, ww // f, f, c).astype(jnp.float32).mean(axis=(2, 4))
+    return pooled.reshape(b, (hh // f) * (ww // f), c).astype(t.dtype)
+
+
 def _lora_input(x: jnp.ndarray, lora: Params) -> jnp.ndarray:
     """Conditional CN-LoRA input modulation (``multiseg_multicolor_CNLoRA_pilot.py:277-327``):
     ``Δx = fc2(SiLU(fc1([mean_T(x) ; cond])))`` broadcast over tokens, else identity."""
@@ -241,12 +270,17 @@ def transformer_block(
     heads: int,
     lora: Optional[Params] = None,
     attn_fn: AttnFn = xla_attention,
+    *,
+    self_kv_ds: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
 ) -> jnp.ndarray:
     from topomap_tpu.ops.fused_norm import layer_norm_fused
 
     lora = lora or {}
+    xn = layer_norm_fused(p["norm1"], x)
+    # ToDo K/V downsampling (see with_kv_downsample): queries full-res, keys/values pooled.
     x = x + cross_attention(
-        p["attn1"], layer_norm_fused(p["norm1"], x), None, heads, lora.get("attn1"), attn_fn
+        p["attn1"], xn, None if self_kv_ds is None else self_kv_ds(xn),
+        heads, lora.get("attn1"), attn_fn,
     )
     x = x + cross_attention(
         p["attn2"], layer_norm_fused(p["norm2"], x), context, heads, lora.get("attn2"), attn_fn
@@ -287,10 +321,15 @@ def spatial_transformer(
     y = group_norm_fused(p["norm"], x)
     y = y.reshape(b, h * w, c)
     y = dense(p["proj_in"], y)
+    f = getattr(attn_fn, "kv_ds", 0)
+    ds = None
+    if f and f > 1 and h * w >= getattr(attn_fn, "kv_ds_min_tokens", 1024) \
+            and h % f == 0 and w % f == 0:
+        ds = lambda t: _avgpool_tokens(t, h, w, f)
     blocks_lora = lora.get("blocks", {})
     for i, bp in enumerate(p["blocks"]):
         y = transformer_block(
-            bp, y, context, heads, _idx(blocks_lora, i), attn_fn
+            bp, y, context, heads, _idx(blocks_lora, i), attn_fn, self_kv_ds=ds
         )
     y = dense(p["proj_out"], y)
     return y.reshape(b, h, w, c) + x_in

@@ -513,20 +513,30 @@ def best_attention_fn():
     attention code falls back to the standard layout automatically where the transposed
     path doesn't apply (runtime LoRA trees present).
 
+    ``TOPOMAP_KV_DS=f[:min_tokens]`` (or CLI ``--kv-downsample``) wraps the chosen backend
+    with ToDo-style self-attention K/V pooling (``models.attention.with_kv_downsample``) —
+    an opt-in approximate speed knob like DeepCache/lazy-CFG.
     """
     import os
 
-    from topomap_tpu.models.attention import xla_attention
+    from topomap_tpu.models.attention import with_kv_downsample, xla_attention
+
+    def _kv_ds(fn):
+        spec = os.environ.get("TOPOMAP_KV_DS", "").strip()
+        if not spec:
+            return fn
+        factor, _, min_t = spec.partition(":")
+        return with_kv_downsample(fn, int(factor), int(min_t) if min_t else 1024)
 
     choice = os.environ.get("TOPOMAP_ATTN", "")
     if choice == "xla":
-        return xla_attention
+        return _kv_ds(xla_attention)
     if choice == "pallas":
-        return pallas_attention
+        return _kv_ds(pallas_attention)
     if choice == "pallas_tt":
-        return pallas_attention_tt
+        return _kv_ds(pallas_attention_tt)
     try:
         platform = jax.devices()[0].platform
     except Exception:
-        return xla_attention
-    return pallas_attention_tt if platform in ("tpu", "axon") else xla_attention
+        return _kv_ds(xla_attention)
+    return _kv_ds(pallas_attention_tt if platform in ("tpu", "axon") else xla_attention)

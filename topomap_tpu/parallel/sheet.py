@@ -41,9 +41,9 @@ def stylize_sheet_sharded(
     ``crossattn``: [1,T,D] (shared conditioning, tiled per tile) or [N,T,D] per-tile.
     Returns the stitched uint8 sheet (host).
     """
-    from topomap_tpu.models.attention import xla_attention
+    from topomap_tpu.ops.flash_attention import best_attention_fn
 
-    attn_fn = attn_fn or xla_attention
+    attn_fn = attn_fn or best_attention_fn()
     h, w = sheet_seg_u8.shape[:2]
     rows, cols = h // tile, w // tile
     tiles = np.asarray(to_unit(tile_sheet(jnp.asarray(sheet_seg_u8), tile)))

@@ -157,9 +157,9 @@ def make_guidance_distill_step(
     element over the full 1000-step range (the student stays a drop-in ε-model usable by
     the standard DDIM sampler at ``guidance_scale=1.0``).
     """
-    from topomap_tpu.models.attention import xla_attention
 
-    attn_fn = attn_fn or xla_attention
+    from topomap_tpu.ops.flash_attention import best_attention_fn
+    attn_fn = attn_fn or best_attention_fn()
 
     def step_fn(state: DistillState, batch, rng):
         rng_vae, rng_t, rng_noise = jax.random.split(jax.random.fold_in(rng, state.step), 3)
@@ -212,9 +212,9 @@ def make_consistency_distill_step(
     c_skip/c_out boundary condition pins f(·,0)=identity, so the student chains backward to
     a denoiser usable at 1–8 steps.
     """
-    from topomap_tpu.models.attention import xla_attention
 
-    attn_fn = attn_fn or xla_attention
+    from topomap_tpu.ops.flash_attention import best_attention_fn
+    attn_fn = attn_fn or best_attention_fn()
     # TOP-anchored teacher ladder (max element = T-1), matching the inference ladder of
     # ``make_consistency_timesteps`` — bottom-anchored DDIM steps would leave every
     # sampling timestep (critically the t=T-1 first step on pure noise) off the training

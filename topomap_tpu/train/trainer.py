@@ -63,10 +63,10 @@ def make_train_step(
     ``use_lpips`` switches the loss to ``0.3·mse + 0.7·LPIPS(decode(x0), gt)`` — the
     perceptual-loss regime of ``expand_steps_and_trainingdata.py:515-523``.
     """
-    from topomap_tpu.models.attention import xla_attention
     from topomap_tpu.train.losses import lpips_distance, perceptual_mix_loss
 
-    attn_fn = attn_fn or xla_attention
+    from topomap_tpu.ops.flash_attention import best_attention_fn
+    attn_fn = attn_fn or best_attention_fn()
 
     def train_step(state: TrainState, batch, rng):
         rng_vae, rng_t, rng_noise = jax.random.split(jax.random.fold_in(rng, state.step), 3)
@@ -161,9 +161,9 @@ def init_train_state(
 def make_validate_step(cfg: PipelineConfig, sched: DiffusionSchedule, iters: int = 8, seed: int = 12345, attn_fn=None):
     """ε-MSE validation averaged over ``iters`` random (t, noise) draws with a FIXED seed —
     mirrors ``vis_metrics.validate_step`` (``:74-116``)."""
-    from topomap_tpu.models.attention import xla_attention
 
-    attn_fn = attn_fn or xla_attention
+    from topomap_tpu.ops.flash_attention import best_attention_fn
+    attn_fn = attn_fn or best_attention_fn()
 
     def validate(params: Params, batch) -> jnp.ndarray:
         rng = jax.random.PRNGKey(seed)
