@@ -260,3 +260,24 @@ def test_kv_downsample_env_knob(monkeypatch):
     monkeypatch.setenv("TOPOMAP_KV_DS", "4")
     fn = best_attention_fn()
     assert fn.kv_ds == 4 and fn.kv_ds_min_tokens == 1024
+
+
+def test_kv_downsample_with_transposed_pallas_interpret():
+    """ToDo pooling through the transposed-kernel path (fused wkv on the pooled context,
+    mask sentinel for the non-lane-aligned pooled Tk) — interpret mode."""
+    from topomap_tpu.models.attention import with_kv_downsample, xla_attention
+    from topomap_tpu.ops.flash_attention import pallas_attention_tt_interpret
+
+    params = _params()
+    tok, _ = make_tokenizers(CFG)
+    ids, mask = tok.encode(["Render Road as a dashed line pattern"])
+    c = encode_text(params, CFG, jnp.asarray(ids), jnp.asarray(mask))
+    seg = jnp.zeros((1, 32, 32, 3))
+    merged = merge_for_sampling(dict(params))
+    fn = with_kv_downsample(pallas_attention_tt_interpret, 2, min_tokens=16)
+    out = sample(merged, CFG, SCHED, DDIMConfig(2, 7.5), jax.random.PRNGKey(0), seg, c,
+                 attn_fn=fn)
+    ref = sample(merged, CFG, SCHED, DDIMConfig(2, 7.5), jax.random.PRNGKey(0), seg, c,
+                 attn_fn=with_kv_downsample(xla_attention, 2, min_tokens=16))
+    # same ToDo math through the Pallas kernel vs the XLA reference path
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
