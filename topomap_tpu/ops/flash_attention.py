@@ -243,41 +243,50 @@ def flash_attention_t(
 
 def _bwd_kernel_t(qt_ref, kt_ref, vt_ref, gt_ref, dq_ref, dk_ref, dv_ref, *, scale: float):
     """Blockwise flash backward in the transposed layout — never materializes [Tq,Tk] in
-    HBM. Per (bh, q-block): recompute probsT, then
+    HBM. Per (bh, q-block): recompute UN-normalized probs u, then with D = colsum(u):
 
-        dvT = gT·probsTᵀ,  dpT = vTᵀ... (all contractions over blk or tk, tile-aligned);
-        dsT = pT∘(dpT − colsum(dpT∘pT));  dqT = kT·dsT·scale;  dkT += qT·dsTᵀ·scale.
+        pT = uT/D;  dpT = vTᵀ·gT;  dsT = pT∘(dpT − colsum(dpT∘pT))
+        dvT = gT·pTᵀ;  dqT = kT·dsT·scale;  dkT += qT·dsTᵀ·scale.
 
-    dk/dv accumulate across q-blocks in VMEM (same output block revisited while the inner
-    grid axis advances)."""
+    The same VPU-pass economics as the forward v3 kernel apply to the [tk, blk] blocks:
+    scale·log₂e is folded into the tiny q block (exp2, no max pass — exact for SD's logit
+    range, see ``_attn_kernel_t``), and every 1/D normalization is folded onto a TINY
+    [dh, blk]/[1, blk] operand instead of dividing the [tk, blk] probability block:
+    ``dq ∘= dinv`` on the output, ``dk`` via ``qT∘dinv`` pre-contraction, ``dv`` via
+    ``gT∘dinv`` pre-contraction. Saves 3 full [tk, blk] VPU passes per block vs the
+    textbook form. dk/dv accumulate across q-blocks in VMEM (same output block revisited
+    while the inner grid axis advances)."""
     j = pl.program_id(1)
-    qt = qt_ref[0].astype(jnp.float32)  # [dh, blk]
+    qt = qt_ref[0].astype(jnp.float32) * (scale * _LOG2E)  # [dh, blk]
     kt = kt_ref[0].astype(jnp.float32)  # [dh, tk]
     vt = vt_ref[0].astype(jnp.float32)
     gt = gt_ref[0].astype(jnp.float32)  # [dh, blk]
 
     logits_t = jax.lax.dot_general(
         kt, qt, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale                                        # [tk, blk]
-    m = jnp.max(logits_t, axis=0, keepdims=True)
-    p = jnp.exp(logits_t - m)
-    p = p / jnp.sum(p, axis=0, keepdims=True)        # probsT [tk, blk]
+    )                                                # [tk, blk], base-2 logits
+    u = jnp.exp2(jnp.clip(logits_t, -115.0, 86.6))   # un-normalized probs (exact, see fwd)
+    dinv = 1.0 / jnp.sum(u, axis=0, keepdims=True)   # [1, blk]
 
     dp = jax.lax.dot_general(
         vt, gt, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )                                                # [tk, blk]
-    ds = p * (dp - jnp.sum(dp * p, axis=0, keepdims=True))  # [tk, blk]
+    c = jnp.sum(dp * u, axis=0, keepdims=True) * dinv  # colsum(dp∘p)  [1, blk]
+    ds_un = u * (dp - c)                             # ds = ds_un ∘ dinv  [tk, blk]
 
     dq_ref[0] = (
-        jax.lax.dot_general(kt, ds, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        * scale
+        jax.lax.dot_general(kt, ds_un, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        * (scale * dinv)
     ).astype(dq_ref.dtype)                           # [dh, blk]
 
+    # dk = scale·Q·dsᵀ with Q = qt/(scale·log2e) and ds = ds_un∘dinv → fold dinv into the
+    # tiny scaled-q block and the leftover 1/log2e as a scalar on the output.
     dk_c = jax.lax.dot_general(
-        qt, ds, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale                                        # [dh, tk]
+        qt * dinv, ds_un, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * (1.0 / _LOG2E)                               # [dh, tk]
     dv_c = jax.lax.dot_general(
-        gt, p, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        gt * dinv, u, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )                                                # [dh, tk]
 
     @pl.when(j == 0)
