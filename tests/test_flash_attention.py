@@ -282,3 +282,74 @@ def test_transposed_attn_fn_with_runtime_lora_layout_fix():
         ref = cross_attention(p, x, context, heads, lora, attn_fn=xla_attention)
         out = cross_attention(p, x, context, heads, lora, attn_fn=xla_attention_tt)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def _rand_lora(rng, din, r, dout, scale=0.5):
+    return {
+        "A": jnp.asarray(rng.normal(size=(din, r), scale=0.1), jnp.float32),
+        "B": jnp.asarray(rng.normal(size=(r, dout), scale=0.1), jnp.float32),
+        "scale": jnp.asarray(scale, jnp.float32),
+    }
+
+
+def test_transposed_path_runtime_lora_matches_standard():
+    """Plain runtime LoRA now rides the transpose-free projection path — outputs must
+    match the standard-layout path (self- and cross-attention, masked 77-key case)."""
+    import numpy as np
+
+    from topomap_tpu.models.attention import cross_attention, cross_attention_init, xla_attention
+    from topomap_tpu.models.nn import KeyGen
+    from topomap_tpu.ops.flash_attention import pallas_attention_tt_interpret
+
+    kg = KeyGen(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    p = cross_attention_init(kg, 64, None, 4, 16)
+    lora = {
+        "to_q": _rand_lora(rng, 64, 4, 64),
+        "to_k": _rand_lora(rng, 64, 8, 64),
+        "to_v": _rand_lora(rng, 64, 8, 64),
+        "to_out": _rand_lora(rng, 64, 4, 64),
+    }
+    x = jnp.asarray(rng.normal(size=(2, 128, 64)), jnp.float32)
+    ref = cross_attention(p, x, None, 4, lora, xla_attention)
+    got = cross_attention(p, x, None, 4, lora, pallas_attention_tt_interpret)
+    assert np.allclose(np.asarray(got), np.asarray(ref), atol=2e-4), np.abs(
+        np.asarray(got) - np.asarray(ref)).max()
+    # cross-attention (77 keys -> masked lane padding), partial lora (q only)
+    pc = cross_attention_init(KeyGen(jax.random.PRNGKey(1)), 64, 64, 4, 16)
+    ctx = jnp.asarray(rng.normal(size=(2, 77, 64)), jnp.float32)
+    lora_q = {"to_q": _rand_lora(rng, 64, 4, 64)}
+    ref = cross_attention(pc, x, ctx, 4, lora_q, xla_attention)
+    got = cross_attention(pc, x, ctx, 4, lora_q, pallas_attention_tt_interpret)
+    assert np.allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_transposed_path_runtime_lora_grads_match():
+    """Gradients w.r.t. LoRA leaves agree between the transpose-free projection path
+    (xla_attention_tt, natively differentiable) and the standard path."""
+    import numpy as np
+
+    from topomap_tpu.models.attention import cross_attention, cross_attention_init, xla_attention
+    from topomap_tpu.models.nn import KeyGen
+    from topomap_tpu.ops.flash_attention import xla_attention_tt
+
+    kg = KeyGen(jax.random.PRNGKey(2))
+    rng = np.random.default_rng(1)
+    p = cross_attention_init(kg, 32, None, 2, 16)
+    lora = {
+        "to_q": _rand_lora(rng, 32, 4, 32),
+        "to_k": _rand_lora(rng, 32, 4, 32),
+        "to_v": _rand_lora(rng, 32, 4, 32),
+        "to_out": _rand_lora(rng, 32, 4, 32),
+    }
+    x = jnp.asarray(rng.normal(size=(2, 64, 32)), jnp.float32)
+
+    def loss(lo, fn):
+        return jnp.sum(cross_attention(p, x, None, 2, lo, fn) ** 2)
+
+    g_ref = jax.grad(loss)(lora, xla_attention)
+    g_tt = jax.grad(loss)(lora, xla_attention_tt)
+    errs = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), g_ref, g_tt
+    )
+    assert all(e < 5e-4 for e in jax.tree.leaves(errs)), errs

@@ -89,6 +89,12 @@ def lora_dense(p: Params, x: jnp.ndarray, lora: Optional[Params] = None) -> jnp.
     return y
 
 
+def _plain_lora(l) -> bool:
+    """True for absent LoRA or a plain ``{A, B, scale}`` leaf (no control/fuse/post_add
+    markers) — the forms the transpose-free projection path composes natively."""
+    return l is None or not (set(l) - {"A", "B", "scale"})
+
+
 def xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Default attention: einsum + fp32 softmax. Shapes [B,H,T,Dh]."""
     scale = q.shape[-1] ** -0.5
@@ -161,27 +167,52 @@ def cross_attention(
     if delta is not None and "v2" not in tc and "add_to_output" not in tc:
         q_lora_in = x + delta  # diffusers main mode: Q-LoRA reads hidden + control
     no_qkv_lora = not any(lora.get(n) for n in ("to_q", "to_k", "to_v"))
-    # Transpose-free path (merged-LoRA inference): the attn_fn consumes/produces
-    # [B,H,Dh,T]; the projections emit that layout straight from the MXU by contracting
-    # with output order [inner, T] — no explicit transpose/copy remains on this path.
-    if getattr(attn_fn, "transposed", False) and not lora and no_qkv_lora:
+    # Transpose-free path: the attn_fn consumes/produces [B,H,Dh,T]; the projections emit
+    # that layout straight from the MXU by contracting with output order [inner, T] — no
+    # explicit transpose/copy remains. Plain {A, B, scale} LoRA leaves compose in the same
+    # layout (the delta chain just ends with output order [r|inner, T]), so both merged
+    # inference AND runtime-adapter training/eval ride this path; only the exotic modes
+    # (control injection, CN-LoRA fuse/cond, post_add) fall back to the standard layout.
+    if getattr(attn_fn, "transposed", False) and ctrl is None and all(
+        _plain_lora(lora.get(n)) for n in ("to_q", "to_k", "to_v", "to_out")
+    ):
         b, tq = x.shape[0], x.shape[1]
-        if context is None:
+
+        def proj_t(w, lr, src):
+            y = jnp.einsum("btc,ck->bkt", src, w.astype(src.dtype))
+            if lr is not None:
+                xa = jnp.einsum("btc,cr->brt", src, lr["A"].astype(src.dtype))
+                y = y + lr["scale"].astype(src.dtype) * jnp.einsum(
+                    "brt,rk->bkt", xa, lr["B"].astype(src.dtype)
+                )
+            return y
+
+        if context is None and no_qkv_lora:
             wqkv = jnp.concatenate(
                 [p["to_q"]["w"], p["to_k"]["w"], p["to_v"]["w"]], axis=1
             ).astype(x.dtype)
             q, k, v = jnp.split(jnp.einsum("btc,ck->bkt", x, wqkv), 3, axis=1)
-        else:
+        elif no_qkv_lora:
             q = jnp.einsum("btc,ck->bkt", x, p["to_q"]["w"].astype(x.dtype))
             wkv = jnp.concatenate([p["to_k"]["w"], p["to_v"]["w"]], axis=1).astype(ctx.dtype)
             k, v = jnp.split(jnp.einsum("btc,ck->bkt", ctx, wkv), 2, axis=1)
+        else:
+            q = proj_t(p["to_q"]["w"], lora.get("to_q"), x)
+            k = proj_t(p["to_k"]["w"], lora.get("to_k"), ctx)
+            v = proj_t(p["to_v"]["w"], lora.get("to_v"), ctx)
         inner = q.shape[1]
         dh = inner // heads
         split_t = lambda t_: t_.reshape(b, heads, dh, t_.shape[-1])
-        out_t = attn_fn(split_t(q), split_t(k), split_t(v))  # [B,H,Dh,Tq]
+        out_t = attn_fn(split_t(q), split_t(k), split_t(v)).reshape(b, inner, tq)
         out = jnp.einsum(
-            "bkt,kc->btc", out_t.reshape(b, inner, tq), p["to_out"]["w"].astype(x.dtype)
+            "bkt,kc->btc", out_t, p["to_out"]["w"].astype(x.dtype)
         ) + p["to_out"]["b"].astype(x.dtype)
+        lo = lora.get("to_out")
+        if lo is not None:
+            oa = jnp.einsum("bkt,kr->brt", out_t, lo["A"].astype(x.dtype))
+            out = out + lo["scale"].astype(x.dtype) * jnp.einsum(
+                "brt,rc->btc", oa, lo["B"].astype(x.dtype)
+            )
         return out
     if context is None and no_qkv_lora:
         # Fused self-attention QKV: one [C,3C] matmul instead of three (inference path —
