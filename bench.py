@@ -68,7 +68,8 @@ def main():
     dc_interval = int(os.environ.get("BENCH_DEEP_CACHE", "1"))
     scale = float(os.environ.get("BENCH_SCALE", "7.5"))  # 1.0 = CFG-free (distilled student)
     ddim = DDIMConfig(num_steps=steps, guidance_scale=scale, eta=0.0, cfg_interval=cfg_interval,
-                      deep_cache_interval=dc_interval)
+                      deep_cache_interval=dc_interval,
+                      unroll=int(os.environ.get("BENCH_UNROLL", "1")))
     which_attn = os.environ.get("BENCH_ATTN", "pallas_tt")
     if which_attn == "pallas":
         from topomap_tpu.ops.flash_attention import pallas_attention as attn_fn

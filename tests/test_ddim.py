@@ -116,3 +116,24 @@ def test_cfg_interval_two_runs_and_approximates():
     # close but not identical (stale uncond between refreshes)
     rel = np.abs(np.asarray(lazy) - np.asarray(exact)).max() / (np.abs(np.asarray(exact)).max() + 1e-9)
     assert rel < 0.2
+
+
+def test_unroll_is_semantically_identical():
+    import numpy as np
+
+    from topomap_tpu.core import DDIMConfig, make_schedule
+    from topomap_tpu.core.ddim import ddim_sample
+
+    sched = make_schedule(1000)
+
+    def denoise(z, t, c):
+        return 0.1 * z + 0.01 * t[:, None, None, None].astype(z.dtype)
+
+    cond = {"crossattn": jnp.zeros((1, 4, 8))}
+    shape = (1, 8, 8, 4)
+    a = ddim_sample(denoise, sched, DDIMConfig(6, 5.0), jax.random.PRNGKey(0), shape,
+                    cond, cond)
+    b = ddim_sample(denoise, sched, DDIMConfig(6, 5.0, unroll=3), jax.random.PRNGKey(0),
+                    shape, cond, cond)
+    # identical math; unrolling only reassociates fusions (last-ULP differences allowed)
+    assert np.allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-4)

@@ -41,6 +41,9 @@ class DDIMConfig:
     # k-th step, recomputing just the full-resolution level in between. 1 = exact. Requires
     # the caller to pass `denoise_cached`/`cache0` to ddim_sample (pipeline.sample does).
     deep_cache_interval: int = 1
+    # lax.scan unroll factor for the denoising loop (compile-time pipelining experiment;
+    # semantics identical, trades compile time/code size for scheduler freedom). 1 = off.
+    unroll: int = 1
 
 
 def guess_mode_control_scales(strength: float = 1.0, n: int = 13) -> jnp.ndarray:
@@ -143,7 +146,8 @@ def ddim_sample(
             )
             return (x_prev, cache, step_rng), None
 
-        (x, _, _), _ = jax.lax.scan(step_dc, (x, cache0, rng), jnp.arange(cfg.num_steps))
+        (x, _, _), _ = jax.lax.scan(step_dc, (x, cache0, rng), jnp.arange(cfg.num_steps),
+                                unroll=cfg.unroll)
         return x
 
     def model_eps(x_t, t_scalar, eps_u_prev, refresh):
@@ -184,5 +188,6 @@ def ddim_sample(
         return (x_prev, eps_u, step_rng), None
 
     eps_u0 = jnp.zeros(shape, jnp.float32)
-    (x, _, _), _ = jax.lax.scan(step, (x, eps_u0, rng), jnp.arange(cfg.num_steps))
+    (x, _, _), _ = jax.lax.scan(step, (x, eps_u0, rng), jnp.arange(cfg.num_steps),
+                                unroll=cfg.unroll)
     return x
