@@ -69,7 +69,8 @@ def main():
     scale = float(os.environ.get("BENCH_SCALE", "7.5"))  # 1.0 = CFG-free (distilled student)
     ddim = DDIMConfig(num_steps=steps, guidance_scale=scale, eta=0.0, cfg_interval=cfg_interval,
                       deep_cache_interval=dc_interval,
-                      unroll=int(os.environ.get("BENCH_UNROLL", "1")))
+                      unroll=int(os.environ.get("BENCH_UNROLL", "1")),
+                      solver=os.environ.get("BENCH_DDIM_SOLVER", "ddim"))
     which_attn = os.environ.get("BENCH_ATTN", "pallas_tt")
     if which_attn == "pallas":
         from topomap_tpu.ops.flash_attention import pallas_attention as attn_fn
@@ -154,7 +155,7 @@ def main():
                 "metric": (
                     f"stylized {size}x{size} tiles/sec/chip @ {steps} consistency-student steps (SD1.5+ControlNet, CFG-free, bf16)"
                     if sampler == "consistency"
-                    else f"stylized {size}x{size} tiles/sec/chip @ {steps} DDIM steps (SD1.5+ControlNet, {'CFG-free' if scale == 1.0 else 'CFG'}{'' if cfg_interval == 1 else f'-lazy{cfg_interval}'}{'' if dc_interval == 1 else f', deepcache-{dc_interval}'}, bf16)"
+                    else f"stylized {size}x{size} tiles/sec/chip @ {steps} {'DPM-Solver++(2M)' if ddim.solver == 'dpm' else 'DDIM'} steps (SD1.5+ControlNet, {'CFG-free' if scale == 1.0 else 'CFG'}{'' if cfg_interval == 1 else f'-lazy{cfg_interval}'}{'' if dc_interval == 1 else f', deepcache-{dc_interval}'}, bf16)"
                 ),
                 "value": round(tiles_per_sec, 4),
                 "unit": "tiles/sec/chip",

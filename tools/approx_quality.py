@@ -68,6 +68,10 @@ def main():
         "lazy_cfg_2": (DDIMConfig(steps, 7.5, cfg_interval=2), attn),
         "deepcache_2": (DDIMConfig(steps, 7.5, deep_cache_interval=2), attn),
         "deepcache_3": (DDIMConfig(steps, 7.5, deep_cache_interval=3), attn),
+        # dpm_20: NOT an approximation — a 2nd-order solver at 20 evals; PSNR vs the
+        # 50-step DDIM reference measures solver-trajectory agreement, not quality loss.
+        "dpm_20": (DDIMConfig(20, 7.5, solver="dpm"), attn),
+        "dpm_15": (DDIMConfig(15, 7.5, solver="dpm"), attn),
         "kv_ds_2": (exact, with_kv_downsample(attn, 2)),
         "kv_ds_2_deepcache_2": (DDIMConfig(steps, 7.5, deep_cache_interval=2),
                                 with_kv_downsample(attn, 2)),

@@ -234,7 +234,8 @@ def cmd_sample(args):
         img = sample_preview(params, cfg, sched, batch, steps=args.ddim_steps,
                              scale=scale, seed=args.seed,
                              cfg_interval=getattr(args, "cfg_interval", 1),
-                             deep_cache_interval=getattr(args, "deep_cache", 1))
+                             deep_cache_interval=getattr(args, "deep_cache", 1),
+                             solver=sampler)
     out_img = np.asarray(from_signed(img[0]))
     Image.fromarray(out_img).save(args.out)
     print(f"wrote {args.out}")
@@ -278,8 +279,8 @@ def _apply_distill(args, params, cfg, sampler):
                 "sigma_data": meta.get("sigma_data", 0.5),
                 "timestep_scaling": meta.get("timestep_scaling", 10.0),
             }
-        elif sampler == "ddim":
-            scale = 1.0  # guidance-distilled student: single-eval DDIM
+        elif sampler in ("ddim", "dpm"):
+            scale = 1.0  # guidance-distilled student: single-eval, CFG-free
         print(f"distilled student ({meta.get('mode')}, w={meta.get('guidance_scale')})")
     return params, sampler, scale, lcm_kwargs
 
@@ -457,7 +458,8 @@ def cmd_evaluate(args):
                 img = sample_preview(params, cfg, sched, batch, steps=args.ddim_steps,
                                      scale=scale, seed=args.seed,
                                      cfg_interval=getattr(args, "cfg_interval", 1),
-                                     deep_cache_interval=getattr(args, "deep_cache", 1))
+                                     deep_cache_interval=getattr(args, "deep_cache", 1),
+                                     solver=sampler)
             pred = jnp.asarray(np.asarray(from_signed(img[0])), jnp.float32)
             gt = jnp.asarray((item["gt"] + 1.0) * 127.5, jnp.float32)
             row = {
@@ -689,7 +691,7 @@ def build_parser():
     sp.add_argument("--prompt", required=True)
     sp.add_argument("--seg", required=True)
     sp.add_argument("--out", default="sample.png")
-    sp.add_argument("--sampler", choices=["ddim", "consistency"], default="ddim",
+    sp.add_argument("--sampler", choices=["ddim", "dpm", "consistency"], default="ddim",
                     help="consistency = few-step distilled student (see `distill`)")
     sp.add_argument("--cfg-interval", type=int, default=1,
                     help="lazy-CFG: refresh uncond eps every k-th step (1 = exact)")
@@ -723,7 +725,7 @@ def build_parser():
     common(sp)
     sp.add_argument("--data", required=True)
     sp.add_argument("--per-prompt", type=int, default=5)
-    sp.add_argument("--sampler", choices=["ddim", "consistency"], default="ddim")
+    sp.add_argument("--sampler", choices=["ddim", "dpm", "consistency"], default="ddim")
     sp.add_argument("--cfg-interval", type=int, default=1)
     sp.add_argument("--deep-cache", type=int, default=1)
     sp.add_argument("--kv-downsample", type=int, default=1)
@@ -745,7 +747,7 @@ def build_parser():
     sp.add_argument("--batch-tiles", type=int, default=4)
     sp.add_argument("--overlap", type=int, default=0,
                     help="overlapped-tile feathered stitching (px); 0 = reference hard seams")
-    sp.add_argument("--sampler", choices=["ddim", "consistency"], default="ddim")
+    sp.add_argument("--sampler", choices=["ddim", "dpm", "consistency"], default="ddim")
     sp.add_argument("--cfg-interval", type=int, default=1)
     sp.add_argument("--deep-cache", type=int, default=1)
     sp.add_argument("--kv-downsample", type=int, default=1)

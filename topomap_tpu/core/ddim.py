@@ -44,6 +44,10 @@ class DDIMConfig:
     # lax.scan unroll factor for the denoising loop (compile-time pipelining experiment;
     # semantics identical, trades compile time/code size for scheduler freedom). 1 = off.
     unroll: int = 1
+    # "ddim" (reference semantics) or "dpm" (DPM-Solver++(2M), core/dpm_solver.py):
+    # second-order ODE solver — 50-step-DDIM quality at ~15-20 evals, exact model math.
+    # "dpm" is deterministic (eta ignored) and excludes cfg_interval/deep_cache_interval.
+    solver: str = "ddim"
 
 
 def guess_mode_control_scales(strength: float = 1.0, n: int = 13) -> jnp.ndarray:

@@ -48,9 +48,11 @@ def sample_preview(
     attn_fn=None,
     cfg_interval: int = 1,
     deep_cache_interval: int = 1,
+    solver: str = "ddim",
 ) -> jnp.ndarray:
     """Returns decoded images [B,H,W,3] in [−1,1]. ``cfg_interval`` / ``deep_cache_interval``
-    are the opt-in approximate speed knobs (lazy CFG / DeepCache — see ``DDIMConfig``)."""
+    are the opt-in approximate speed knobs (lazy CFG / DeepCache — see ``DDIMConfig``);
+    ``solver="dpm"`` switches to the second-order DPM-Solver++(2M) (exact model math)."""
     from topomap_tpu.ops.flash_attention import best_attention_fn
 
     c = encode_text(params, cfg, batch["ids"], batch["mask"])
@@ -59,7 +61,8 @@ def sample_preview(
         cfg,
         sched,
         DDIMConfig(num_steps=steps, guidance_scale=scale, eta=eta,
-                   cfg_interval=cfg_interval, deep_cache_interval=deep_cache_interval),
+                   cfg_interval=cfg_interval, deep_cache_interval=deep_cache_interval,
+                   solver=solver if solver in ("ddim", "dpm") else "ddim"),
         jax.random.PRNGKey(seed),
         batch["seg"],
         c,
@@ -186,7 +189,8 @@ def stylize_sheet(
         tiles = to_unit(tile_sheet(sheet_seg_u8, tile))  # [N,512,512,3] in [0,1]
     n = tiles.shape[0]
     ddim = DDIMConfig(num_steps=steps, guidance_scale=scale, cfg_interval=cfg_interval,
-                      deep_cache_interval=deep_cache_interval)
+                      deep_cache_interval=deep_cache_interval,
+                      solver="dpm" if sampler == "dpm" else "ddim")
 
     outs = []
     for start in range(0, n, batch_tiles):
