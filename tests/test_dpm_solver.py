@@ -93,3 +93,25 @@ def test_dpm_through_sample_preview_and_cfg():
              "mask": jnp.asarray(mask)}
     img = sample_preview(params, cfg, SCHED, batch, steps=3, scale=7.5, solver="dpm")
     assert img.shape == (1, 32, 32, 3) and np.isfinite(np.asarray(img)).all()
+
+
+def test_dpm_deepcache_composition():
+    """DeepCache composed with the DPM solver: interval 2 refreshes on even solver steps
+    and must stay finite and near the exact solver (the refresh-path's bit-exactness vs
+    apply_model is covered by test_apply_model_cached_refresh_matches_exact)."""
+    cfg = PipelineConfig.tiny()
+    params = simulate_pretrained(init_pipeline(jax.random.PRNGKey(0), cfg),
+                                 jax.random.PRNGKey(1))
+    tok, _ = make_tokenizers(cfg)
+    ids, mask = tok.encode(["Set Forest color to dark green"])
+    c = encode_text(params, cfg, jnp.asarray(ids), jnp.asarray(mask))
+    seg = jnp.zeros((1, 32, 32, 3))
+    rng = jax.random.PRNGKey(0)
+
+    exact = sample(params, cfg, SCHED, DDIMConfig(4, 7.5, solver="dpm"), rng, seg, c,
+                   decode=False)
+    dc2 = sample(params, cfg, SCHED,
+                 DDIMConfig(4, 7.5, solver="dpm", deep_cache_interval=2), rng, seg, c,
+                 decode=False)
+    assert dc2.shape == exact.shape and np.isfinite(np.asarray(dc2)).all()
+    assert float(jnp.abs(dc2 - exact).mean()) < 1.0

@@ -70,12 +70,20 @@ def dpm_solver_sample(
     uncond: Any,
     x_T: jnp.ndarray | None = None,
     unroll: int = 1,
+    denoise_cached=None,
+    cache0: Any = None,
+    deep_cache_interval: int = 1,
 ) -> jnp.ndarray:
     """Sample latents with DPM-Solver++(2M): ``num_steps`` model evaluations (each a
     2B-batched cond+uncond forward under guidance), one jitted ``lax.scan``.
 
     Deterministic (ODE) — there is no eta. Returns the final latent at the alpha-bar[0]
     anchor, decode with the VAE afterwards.
+
+    ``deep_cache_interval > 1`` composes DeepCache with the solver (same
+    ``denoise_cached(x, t, cond, cache, refresh) -> (eps, cache)`` contract as
+    :func:`topomap_tpu.core.ddim.ddim_sample`); ``refresh`` every step reproduces the
+    exact solver bit-for-bit.
     """
     t_pts, alphas, sigmas, c_x, c0, c1 = _dpm_tables(sched, num_steps)
     b = shape[0]
@@ -83,31 +91,42 @@ def dpm_solver_sample(
     rng, init_rng = jax.random.split(rng)
     x = jax.random.normal(init_rng, shape, jnp.float32) if x_T is None else x_T
 
+    use_cache = deep_cache_interval > 1
+    if use_cache:
+        assert denoise_cached is not None and cache0 is not None, (
+            "deep_cache_interval > 1 needs denoise_cached/cache0 (see pipeline.sample)"
+        )
     if guidance_scale != 1.0:
         cond2 = jax.tree.map(lambda c, u: jnp.concatenate([c, u], axis=0), cond, uncond)
 
-    def model_x0(x_t, i):
+    def model_x0(x_t, i, cache):
         t_b = jnp.full((b,), t_pts[i], jnp.int32)
+        refresh = (i % deep_cache_interval) == 0
         if guidance_scale == 1.0:
-            eps = denoise_fn(x_t, t_b, cond)
+            if use_cache:
+                eps, cache = denoise_cached(x_t, t_b, cond, cache, refresh)
+            else:
+                eps = denoise_fn(x_t, t_b, cond)
         else:
-            eps2 = denoise_fn(
-                jnp.concatenate([x_t, x_t], axis=0),
-                jnp.concatenate([t_b, t_b], axis=0),
-                cond2,
-            )
+            x2 = jnp.concatenate([x_t, x_t], axis=0)
+            t2 = jnp.concatenate([t_b, t_b], axis=0)
+            if use_cache:
+                eps2, cache = denoise_cached(x2, t2, cond2, cache, refresh)
+            else:
+                eps2 = denoise_fn(x2, t2, cond2)
             eps = eps2[b:] + guidance_scale * (eps2[:b] - eps2[b:])
-        return (x_t - sigmas[i] * eps) / alphas[i]
+        return (x_t - sigmas[i] * eps) / alphas[i], cache
 
     def step(carry, i):
-        x_i, m_prev = carry
-        m = model_x0(x_i, i)
+        x_i, m_prev, cache = carry
+        m, cache = model_x0(x_i, i, cache)
         # bootstrap row i=0 has c1[0]=0, so the (m − m_prev) term vanishes exactly and the
         # update is the first-order (DDIM-in-x0-form) step — no branch needed.
         x_next = c_x[i] * x_i + c0[i] * m + c1[i] * (m - m_prev)
-        return (x_next, m), None
+        return (x_next, m, cache), None
 
-    (x, _), _ = jax.lax.scan(
-        step, (x, jnp.zeros(shape, jnp.float32)), jnp.arange(num_steps), unroll=unroll
+    (x, _, _), _ = jax.lax.scan(
+        step, (x, jnp.zeros(shape, jnp.float32), cache0), jnp.arange(num_steps),
+        unroll=unroll,
     )
     return x

@@ -413,15 +413,6 @@ def sample(
     gh = hint_features(params, cfg, seg)
     cond = {"crossattn": crossattn, "concat": seg, "hint_features": gh}
     uncond = {"crossattn": uncond_crossattn, "concat": seg, "hint_features": gh}
-    if ddim.solver == "dpm":
-        from topomap_tpu.core.dpm_solver import dpm_solver_sample
-
-        assert ddim.cfg_interval == 1 and ddim.deep_cache_interval == 1, (
-            "solver='dpm' excludes cfg_interval/deep_cache_interval"
-        )
-        z0 = dpm_solver_sample(denoise, sched, ddim.num_steps, ddim.guidance_scale, rng,
-                               shape, cond, uncond, unroll=ddim.unroll)
-        return decode_latent(params, cfg, z0, decode_dtype) if decode else z0
     denoise_cached = cache0 = None
     if ddim.deep_cache_interval > 1:
         denoise_cached = lambda z, t, c, cache, refresh: apply_model_cached(
@@ -434,6 +425,15 @@ def sample(
                 deep_cache_shape(cfg, cb, (shape[1], shape[2])), cfg.compute_dtype
             )
         }
+    if ddim.solver == "dpm":
+        from topomap_tpu.core.dpm_solver import dpm_solver_sample
+
+        assert ddim.cfg_interval == 1, "solver='dpm' excludes cfg_interval (lazy CFG)"
+        z0 = dpm_solver_sample(denoise, sched, ddim.num_steps, ddim.guidance_scale, rng,
+                               shape, cond, uncond, unroll=ddim.unroll,
+                               denoise_cached=denoise_cached, cache0=cache0,
+                               deep_cache_interval=ddim.deep_cache_interval)
+        return decode_latent(params, cfg, z0, decode_dtype) if decode else z0
     z0 = ddim_sample(denoise, sched, ddim, rng, shape, cond, uncond,
                      denoise_cached=denoise_cached, cache0=cache0)
     return decode_latent(params, cfg, z0, decode_dtype) if decode else z0
