@@ -114,6 +114,8 @@ _LOG2E = 1.4426950408889634
 def _attn_kernel_t(
     qt_ref, kt_ref, vt_ref, ot_ref, *, scale: float, denom_row: int, exact_max: bool = False
 ):
+    # denom_row == -1 → no ones-row was planted in vT; the denominator is a VPU
+    # sum-reduce of the probs block instead (see the "denominator" note below).
     """Transposed-layout kernel: head_dim on SUBLANES, tokens on lanes.
 
     qT [dh_pad, blk_q], kT/vT [dh_pad, tk] → oT [dh_pad, blk_q]. All three matmuls contract
@@ -135,10 +137,16 @@ def _attn_kernel_t(
       is folded into the TINY [dh, blk] q block before the matmul instead of multiplying
       the [tk, blk] logits block after it, and the VPU computes ``exp2`` directly (exp
       lowers to exp2·log₂e anyway — this makes the conversion multiply free).
-    * **no sum-reduce pass** — the wrapper plants a row of ONES in an unused padded
-      sublane row of vT (``denom_row``), so the existing probs·V matmul emits
-      ``Σ_k p`` as one extra OUTPUT row on the MXU for free; normalization then divides
-      the tiny [dh, blk] output block.
+    * **denominator** — two forms, picked by the wrapper. When the k-axis needs a mask
+      row anyway (cross-attention, tk%128≠0), the wrapper plants a row of ONES in that
+      same padded sublane row of vT (``denom_row``) and the probs·V matmul emits ``Σ_k p``
+      as one extra MXU output row for free. When NO mask row is needed (self-attention),
+      reserving a row just for the denominator costs a full sublane-granule of dh padding
+      (40→48: +20% on every matmul contraction — measured 70.5 vs 74.3 TFLOP/s at the
+      4096-token SD shape, tools/attn_variants.py), so the wrapper passes
+      ``denom_row=-1``, pads dh only to the 8-sublane granule, and the denominator is a
+      plain VPU sum-reduce of the probs block (one [tk, blk] read — cheaper than 20% more
+      MXU + an 8-row-wider block everywhere).
 
     ``exact_max=True`` (env ``TOPOMAP_SOFTMAX=max``) restores the classic max-subtracted
     ``exp`` form for A/B checks (denominator still rides the MXU ones-row)."""
@@ -159,11 +167,15 @@ def _attn_kernel_t(
         # base-2 logits: clip bounds are the (−80, 60) natural-log bounds × log₂e.
         p = jnp.exp2(jnp.clip(logits_t, -115.0, 86.6)).astype(vt.dtype)
     # oT [dh_pad, blk_q] = vT · probsT  (contract tk: lanes of vT, sublanes of probsT);
-    # row `denom_row` of oT is Σ_k p thanks to the ones row of vT.
+    # with a ones-row, row `denom_row` of oT is Σ_k p.
     ot = jax.lax.dot_general(
         vt, p, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    ot_ref[0] = (ot / ot[denom_row : denom_row + 1, :]).astype(ot_ref.dtype)
+    if denom_row < 0:
+        denom = jnp.sum(p.astype(jnp.float32), axis=0, keepdims=True)
+    else:
+        denom = ot[denom_row : denom_row + 1, :]
+    ot_ref[0] = (ot / denom).astype(ot_ref.dtype)
 
 
 def _use_exact_max() -> bool:
@@ -198,9 +210,11 @@ def flash_attention_t(
     sub = 8  # fp32 sublane granularity; bf16 inputs are upcast per-block inside the kernel
 
     need_mask = (tk % _LANE) != 0
-    # Always reserve one padded sublane row past d: the mask sentinel lives there in q/k,
-    # and the denominator ones-row lives there in v (independent tensors, same row).
-    d_pad = _round_up(d + 1, sub)
+    # A sublane row past d is reserved ONLY when the k-mask needs it (tk%128≠0): the mask
+    # sentinel lives there in q/k and the denominator ones-row rides it for free in v.
+    # Unmasked (self-attention), the row would cost a whole 8-sublane granule of dh
+    # padding, so the kernel sum-reduces the denominator instead (denom_row=-1).
+    d_pad = _round_up(d + 1, sub) if need_mask else _round_up(d, sub)
     tk_pad = _round_up(tk, _LANE)
     blk_q = _pick_block_q(_round_up(tq, _LANE), tk_pad, block_q)
     tq_pad = _round_up(tq, blk_q)
@@ -212,16 +226,20 @@ def flash_attention_t(
 
     qt = t_pad(q, tq, tq_pad)
     kt = t_pad(k, tk, tk_pad)
-    vt = t_pad(v, tk, tk_pad).at[:, d, :].set(1.0)  # denominator ones-row (see kernel)
+    vt = t_pad(v, tk, tk_pad)
     if need_mask:
         # sentinel row d: 1 in q, -1e9/scale in padded k slots → padded keys get -inf logits
+        vt = vt.at[:, d, :].set(1.0)  # denominator ones-row (see kernel)
         qt = qt.at[:, d, :tq].set(1.0)
         kt = kt.at[:, d, tk:].set(-1e9 / scale)
 
     grid = (b * h, tq_pad // blk_q)
     out = pl.pallas_call(
         functools.partial(
-            _attn_kernel_t, scale=scale, denom_row=d, exact_max=_use_exact_max()
+            _attn_kernel_t,
+            scale=scale,
+            denom_row=d if need_mask else -1,
+            exact_max=_use_exact_max(),
         ),
         grid=grid,
         in_specs=[
@@ -375,9 +393,8 @@ def flash_attention_tt(
     sub = 8
 
     need_mask = (tk % _LANE) != 0
-    # One padded sublane row past d is always reserved: mask sentinel in q/k, denominator
-    # ones-row in v (see _attn_kernel_t).
-    d_pad = _round_up(d + 1, sub)
+    # Sublane row past d reserved only when the k-mask needs it; see flash_attention_t.
+    d_pad = _round_up(d + 1, sub) if need_mask else _round_up(d, sub)
     tk_pad = _round_up(tk, _LANE)
     blk_q = _pick_block_q(_round_up(tq, _LANE), tk_pad, block_q)
     tq_pad = _round_up(tq, blk_q)
@@ -385,15 +402,18 @@ def flash_attention_tt(
     qp = jnp.pad(qt.reshape(b * h, d, tq), ((0, 0), (0, d_pad - d), (0, tq_pad - tq)))
     kp = jnp.pad(kt.reshape(b * h, d, tk), ((0, 0), (0, d_pad - d), (0, tk_pad - tk)))
     vp = jnp.pad(vt.reshape(b * h, d, tk), ((0, 0), (0, d_pad - d), (0, tk_pad - tk)))
-    vp = vp.at[:, d, :].set(1.0)
     if need_mask:
+        vp = vp.at[:, d, :].set(1.0)
         qp = qp.at[:, d, :tq].set(1.0)
         kp = kp.at[:, d, tk:].set(-1e9 / scale)
 
     grid = (b * h, tq_pad // blk_q)
     out = pl.pallas_call(
         functools.partial(
-            _attn_kernel_t, scale=scale, denom_row=d, exact_max=_use_exact_max()
+            _attn_kernel_t,
+            scale=scale,
+            denom_row=d if need_mask else -1,
+            exact_max=_use_exact_max(),
         ),
         grid=grid,
         in_specs=[
