@@ -658,6 +658,40 @@ def cmd_make_data(args):
     print(f"wrote {len(recs)} pairs under {args.out}")
 
 
+def cmd_serve(args):
+    from topomap_tpu.pipeline import merge_for_sampling
+    from topomap_tpu.serve import MicroBatcher, ServeConfig, build_runner, make_http_server
+
+    preset, cfg, sched, params, tok, _ = _setup(args)
+    params = _maybe_restore(args, preset, cfg, params)
+    params, sampler, scale, lcm_kwargs = _apply_distill(args, params, cfg, args.sampler)
+    params = merge_for_sampling(params)
+    sc = ServeConfig(batch=args.batch, size=args.size, steps=args.ddim_steps, scale=scale,
+                     sampler=sampler, cfg_interval=args.cfg_interval,
+                     deep_cache_interval=args.deep_cache, max_wait_ms=args.max_wait_ms,
+                     **lcm_kwargs)
+    runner = build_runner(params, cfg, sched, sc)
+    # Warm the executable before accepting traffic: 1st call compiles; on the remote-TPU
+    # backend the 2nd call pays a one-time finalization cost (CLAUDE.md), hence warmup=2.
+    ids, mask = tok.encode(["warmup"] * sc.batch)
+    zeros = np.zeros((sc.batch, sc.size, sc.size, 3), np.float32)
+    for i in range(args.warmup):
+        t0 = time.perf_counter()
+        runner(zeros, np.asarray(ids), np.asarray(mask), np.arange(sc.batch, dtype=np.int32))
+        print(f"warmup {i + 1}/{args.warmup}: {time.perf_counter() - t0:.1f}s")
+    batcher = MicroBatcher(runner, sc.batch, sc.max_wait_ms)
+    server = make_http_server(batcher, tok, sc, host=args.host, port=args.port)
+    print(f"serving {sc.sampler} batch={sc.batch} size={sc.size} steps={sc.steps} "
+          f"on http://{args.host}:{server.server_port}  (POST /stylize, GET /healthz /metrics)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+        batcher.close()
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="topomap", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -796,6 +830,23 @@ def build_parser():
     sp.add_argument("--tiles", type=int, default=8)
     sp.add_argument("--seed", type=int, default=0)
     sp.set_defaults(fn=cmd_make_data)
+
+    sp = sub.add_parser("serve", help="warm-executable micro-batching HTTP stylize server")
+    common(sp)
+    sp.add_argument("--batch", type=int, default=4, help="compiled batch size (fixed shape)")
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=8700, help="0 = ephemeral")
+    sp.add_argument("--max-wait-ms", type=float, default=50.0,
+                    help="micro-batching window: how long to wait for batch companions")
+    sp.add_argument("--warmup", type=int, default=2,
+                    help="warm dispatches before accepting traffic (2 covers the remote-TPU finalization)")
+    sp.add_argument("--sampler", choices=["ddim", "dpm", "consistency"], default="ddim")
+    sp.add_argument("--cfg-interval", type=int, default=1)
+    sp.add_argument("--deep-cache", type=int, default=1)
+    sp.add_argument("--kv-downsample", type=int, default=1)
+    sp.add_argument("--distill-ckpt", default=None,
+                    help="distill run dir: overlay student adapters + use its sampling mode")
+    sp.set_defaults(fn=cmd_serve)
     return p
 
 

@@ -394,12 +394,14 @@ def sample(
     attn_fn: AttnFn = xla_attention,
     decode: bool = True,
     decode_dtype=jnp.float32,
+    z_init: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Full conditional DDIM sampling of a batch of tiles.
 
     Reference semantics (``vis_metrics.sample_preview:408-452``): uncond cross-attention is a
     ZERO embedding by default; both branches share the seg hint. Returns decoded images in
-    [−1,1] (or raw latents with ``decode=False``).
+    [−1,1] (or raw latents with ``decode=False``). ``z_init`` overrides the initial x_T
+    latent (per-request deterministic noise under server-side micro-batching).
     """
     b = seg.shape[0]
     ds = cfg.vae.downscale
@@ -430,12 +432,12 @@ def sample(
 
         assert ddim.cfg_interval == 1, "solver='dpm' excludes cfg_interval (lazy CFG)"
         z0 = dpm_solver_sample(denoise, sched, ddim.num_steps, ddim.guidance_scale, rng,
-                               shape, cond, uncond, unroll=ddim.unroll,
+                               shape, cond, uncond, x_T=z_init, unroll=ddim.unroll,
                                denoise_cached=denoise_cached, cache0=cache0,
                                deep_cache_interval=ddim.deep_cache_interval)
         return decode_latent(params, cfg, z0, decode_dtype) if decode else z0
     z0 = ddim_sample(denoise, sched, ddim, rng, shape, cond, uncond,
-                     denoise_cached=denoise_cached, cache0=cache0)
+                     denoise_cached=denoise_cached, cache0=cache0, x_T=z_init)
     return decode_latent(params, cfg, z0, decode_dtype) if decode else z0
 
 
@@ -453,6 +455,7 @@ def sample_consistency(
     decode_dtype=jnp.float32,
     sigma_data: float = 0.5,
     timestep_scaling: float = 10.0,
+    z_init: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Few-step sampling with a consistency-distilled student (``train.distill``,
     mode="consistency"): ``num_steps`` SINGLE model evaluations — no CFG pair, guidance is
@@ -469,6 +472,6 @@ def sample_consistency(
             "hint_features": hint_features(params, cfg, seg)}
     z0 = consistency_sample(
         denoise, sched, num_steps, rng, shape, cond,
-        sigma_data=sigma_data, timestep_scaling=timestep_scaling,
+        sigma_data=sigma_data, timestep_scaling=timestep_scaling, x_T=z_init,
     )
     return decode_latent(params, cfg, z0, decode_dtype) if decode else z0
