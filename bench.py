@@ -132,18 +132,26 @@ def main():
             return sample(params, cfg, sched, ddim, rng, seg, context, attn_fn=attn_fn,
                           decode_dtype=decode_dtype)
 
-    run_jit = jax.jit(run, compiler_options=_compiler_options())
+    # Synchronization protocol: block_until_ready does NOT reliably synchronize every
+    # executable on this remote backend (observed: 0.00 s "times" on the kv-ds variant
+    # while the first call blocked fine). Returning a checksum scalar and timing
+    # jax.device_get forces a real round trip — the scalar fetch adds ~ms against
+    # multi-second programs and is applied identically to every mode.
+    def run_sync(params, rng):
+        out = run(params, rng)
+        return jnp.sum(out.astype(jnp.float32))
+
+    run_jit = jax.jit(run_sync, compiler_options=_compiler_options())
     print("bench: compiling...", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
-    out = run_jit(params, jax.random.PRNGKey(0))
-    jax.block_until_ready(out)
-    print(f"bench: compile+first run {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
+    chk = jax.device_get(run_jit(params, jax.random.PRNGKey(0)))
+    print(f"bench: compile+first run {time.perf_counter()-t0:.1f}s (checksum {float(chk):.3f})",
+          file=sys.stderr, flush=True)
 
     times = []
     for i in range(reps):
         t0 = time.perf_counter()
-        out = run_jit(params, jax.random.PRNGKey(i + 1))
-        jax.block_until_ready(out)
+        chk = jax.device_get(run_jit(params, jax.random.PRNGKey(i + 1)))
         times.append(time.perf_counter() - t0)
     best = min(times)
     tiles_per_sec = batch / best

@@ -1,0 +1,115 @@
+"""CFG zero-context shortcut: the uncond half of a 2B parallel-CFG forward must be
+BIT-EXACT with and without the shortcut.
+
+The reference protocol's unconditional embedding is a zero tensor
+(``/root/reference/LoRA_modified/vis_metrics.py:425``); with LDM's bias-free
+to_k/to_v, every cross-attention on a zero context collapses to its to_out bias.
+``apply_model(zero_ctx_tail=B)`` exploits that; these tests pin exactness through the
+full UNet+ControlNet stack, the sampler wiring, DeepCache, and the control-LoRA fallback.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from topomap_tpu.core import DDIMConfig, make_schedule
+from topomap_tpu.pipeline import (
+    PipelineConfig,
+    apply_model,
+    init_pipeline,
+    sample,
+    simulate_pretrained,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = PipelineConfig.tiny()
+    params = simulate_pretrained(
+        init_pipeline(jax.random.PRNGKey(0), cfg), jax.random.PRNGKey(1)
+    )
+    sched = make_schedule(cfg.num_train_timesteps)
+    return cfg, params, sched
+
+
+def _batch2b(cfg, b=2, size=32, seed=3):
+    rng = np.random.default_rng(seed)
+    z = jnp.asarray(rng.standard_normal((2 * b, size // cfg.vae.downscale,
+                                         size // cfg.vae.downscale, 4)), jnp.float32)
+    t = jnp.asarray(rng.integers(0, 1000, (2 * b,)), jnp.int32)
+    ctx_c = rng.standard_normal((b, 77, cfg.unet.context_dim)).astype(np.float32)
+    ctx = jnp.asarray(np.concatenate([ctx_c, np.zeros_like(ctx_c)]), jnp.float32)
+    seg = jnp.asarray(np.tile(rng.random((b, size, size, 3), np.float32), (2, 1, 1, 1)))
+    return z, t, {"crossattn": ctx, "concat": seg}
+
+
+def test_apply_model_bit_exact(setup):
+    cfg, params, _ = setup
+    z, t, cond = _batch2b(cfg)
+    full = jax.jit(lambda: apply_model(params, cfg, z, t, cond))()
+    fast = jax.jit(lambda: apply_model(params, cfg, z, t, cond, zero_ctx_tail=2))()
+    assert jnp.array_equal(full, fast), float(jnp.max(jnp.abs(full - fast)))
+
+
+def test_sample_shortcut_matches_explicit_uncond(setup):
+    cfg, params, sched = setup
+    b, size = 2, 32
+    rng = np.random.default_rng(7)
+    seg = jnp.asarray(rng.random((b, size, size, 3), np.float32))
+    ctx = jnp.asarray(rng.standard_normal((b, 77, cfg.unet.context_dim)), jnp.float32)
+    ddim = DDIMConfig(num_steps=3, guidance_scale=7.5)
+    key = jax.random.PRNGKey(5)
+    # default uncond (None) -> shortcut enabled; explicit zeros -> shortcut disabled
+    out_fast = jax.jit(lambda: sample(params, cfg, sched, ddim, key, seg, ctx))()
+    out_full = jax.jit(lambda: sample(params, cfg, sched, ddim, key, seg, ctx,
+                                      uncond_crossattn=jnp.zeros_like(ctx)))()
+    assert jnp.array_equal(out_fast, out_full)
+
+
+def test_sample_shortcut_deepcache(setup):
+    cfg, params, sched = setup
+    b, size = 2, 32
+    rng = np.random.default_rng(8)
+    seg = jnp.asarray(rng.random((b, size, size, 3), np.float32))
+    ctx = jnp.asarray(rng.standard_normal((b, 77, cfg.unet.context_dim)), jnp.float32)
+    ddim = DDIMConfig(num_steps=4, guidance_scale=7.5, deep_cache_interval=2)
+    key = jax.random.PRNGKey(6)
+    out_fast = jax.jit(lambda: sample(params, cfg, sched, ddim, key, seg, ctx))()
+    out_full = jax.jit(lambda: sample(params, cfg, sched, ddim, key, seg, ctx,
+                                      uncond_crossattn=jnp.zeros_like(ctx)))()
+    assert jnp.array_equal(out_fast, out_full)
+
+
+def test_control_lora_falls_back_to_full_path():
+    """x-dependent control deltas do NOT vanish on the uncond half — the per-block gate
+    must route those blocks through the full cross-attention (and still match)."""
+    from topomap_tpu.lora.control_lora import (
+        build_ldm_control_lora_tree,
+        inject_control_states,
+        mini_control_encoder_apply,
+        mini_control_encoder_init,
+    )
+    from topomap_tpu.models.unet import UNetConfig, unet_apply, unet_init
+    from tests.util import unzero
+
+    ucfg = UNetConfig.tiny()
+    params = unzero(unet_init(jax.random.PRNGKey(0), ucfg))
+    tree = unzero(build_ldm_control_lora_tree(params, jax.random.PRNGKey(2), rank=2))
+    enc = mini_control_encoder_init(jax.random.PRNGKey(0), base_channels=4)
+    hint = jax.random.uniform(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    feat = mini_control_encoder_apply(enc, hint)
+    injected = inject_control_states(tree, ucfg, [feat.reshape(4, 64, ucfg.model_channels)])
+    x = jax.random.normal(jax.random.PRNGKey(3), (4, 8, 8, 4))
+    rng = np.random.default_rng(4)
+    ctx_c = rng.standard_normal((2, 7, ucfg.context_dim)).astype(np.float32)
+    ctx = jnp.asarray(np.concatenate([ctx_c, np.zeros_like(ctx_c)]), jnp.float32)
+    t = jnp.asarray([5, 5, 5, 5], jnp.int32)
+    full = jax.jit(lambda: unet_apply(params, ucfg, x, t, ctx, lora=injected))()
+    fast = jax.jit(
+        lambda: unet_apply(params, ucfg, x, t, ctx, lora=injected, zero_ctx_tail=2)
+    )()
+    assert jnp.array_equal(full, fast)
+    # sanity: the control delta really is live on the uncond half (output differs from
+    # the no-lora run there), so the fallback is actually being exercised
+    base = jax.jit(lambda: unet_apply(params, ucfg, x, t, ctx))()
+    assert not np.allclose(np.asarray(base[2:]), np.asarray(full[2:]))

@@ -303,6 +303,7 @@ def transformer_block(
     attn_fn: AttnFn = xla_attention,
     *,
     self_kv_ds: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    zero_ctx_tail: int = 0,
 ) -> jnp.ndarray:
     from topomap_tpu.ops.fused_norm import layer_norm_fused
 
@@ -313,9 +314,26 @@ def transformer_block(
         p["attn1"], xn, None if self_kv_ds is None else self_kv_ds(xn),
         heads, lora.get("attn1"), attn_fn,
     )
-    x = x + cross_attention(
-        p["attn2"], layer_norm_fused(p["norm2"], x), context, heads, lora.get("attn2"), attn_fn
-    )
+    a2l = lora.get("attn2")
+    if zero_ctx_tail > 0 and (a2l is None or "control" not in a2l):
+        # CFG zero-context shortcut: the trailing ``zero_ctx_tail`` batch items carry the
+        # reference protocol's ZERO uncond embedding (``vis_metrics.py:425``). With
+        # bias-free to_k/to_v (LDM CrossAttention), K = V = 0 there, so softmax is uniform
+        # over zero values and the block output is EXACTLY the to_out bias — no Q/K/V
+        # projection, kernel call, or out-projection needed for that half. Bit-exact
+        # (plain Q/K/V/out LoRA deltas also vanish on zero inputs); control-LoRA modes
+        # inject x-dependent deltas, so they take the full path.
+        bc = x.shape[0] - zero_ctx_tail
+        a = cross_attention(
+            p["attn2"], layer_norm_fused(p["norm2"], x[:bc]), context[:bc], heads, a2l, attn_fn
+        )
+        bias = p["attn2"]["to_out"]["b"].astype(a.dtype)
+        tail = jnp.broadcast_to(bias, (zero_ctx_tail, x.shape[1], bias.shape[-1]))
+        x = x + jnp.concatenate([a, tail], axis=0)
+    else:
+        x = x + cross_attention(
+            p["attn2"], layer_norm_fused(p["norm2"], x), context, heads, a2l, attn_fn
+        )
     x = x + feed_forward(p["ff"], layer_norm_fused(p["norm3"], x), lora.get("ff"))
     return x
 
@@ -342,6 +360,7 @@ def spatial_transformer(
     heads: int,
     lora: Optional[Params] = None,
     attn_fn: AttnFn = xla_attention,
+    zero_ctx_tail: int = 0,
 ) -> jnp.ndarray:
     """x: [B, H, W, C] NHWC; context: [B, Tk, Dc]. Residual like LDM SpatialTransformer."""
     from topomap_tpu.ops.fused_norm import group_norm_fused
@@ -360,7 +379,8 @@ def spatial_transformer(
     blocks_lora = lora.get("blocks", {})
     for i, bp in enumerate(p["blocks"]):
         y = transformer_block(
-            bp, y, context, heads, _idx(blocks_lora, i), attn_fn, self_kv_ds=ds
+            bp, y, context, heads, _idx(blocks_lora, i), attn_fn, self_kv_ds=ds,
+            zero_ctx_tail=zero_ctx_tail,
         )
     y = dense(p["proj_out"], y)
     return y.reshape(b, h, w, c) + x_in

@@ -105,6 +105,7 @@ def controlnet_apply(
     hint_downscale: int = 8,
     remat: bool = False,
     guided_hint: Optional[jnp.ndarray] = None,
+    zero_ctx_tail: int = 0,
 ) -> list[jnp.ndarray]:
     """Return the 13 control residuals for ``unet_apply(control=...)``.
 
@@ -126,9 +127,10 @@ def controlnet_apply(
         guided = guided_hint.astype(compute_dtype)
     hs = unet_encoder_apply(
         p["encoder"], cfg, x, emb, context, lora.get("encoder"), attn_fn,
-        extra_first=guided, remat=remat,
+        extra_first=guided, remat=remat, zero_ctx_tail=zero_ctx_tail,
     )
-    h = unet_middle_apply(p["middle"], cfg, hs[-1], emb, context, lora.get("middle"), attn_fn)
+    h = unet_middle_apply(p["middle"], cfg, hs[-1], emb, context, lora.get("middle"), attn_fn,
+                          zero_ctx_tail=zero_ctx_tail)
 
     outs = [conv(zc, s) for zc, s in zip(p["zero_convs"], hs)]
     outs.append(conv(p["middle_block_out"], h))

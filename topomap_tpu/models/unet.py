@@ -148,6 +148,7 @@ def unet_encoder_apply(
     remat: bool = False,
     start: int = 0,
     stop: Optional[int] = None,
+    zero_ctx_tail: int = 0,
 ) -> list[jnp.ndarray]:
     """Run input_blocks ``[start:stop)``, returning the list of skip activations (one per
     block run). With ``start > 0``, ``x`` is the running hidden state entering that block.
@@ -164,6 +165,7 @@ def unet_encoder_apply(
             h = spatial_transformer(
                 bp["attn"], h, context, cfg.num_heads,
                 None if bl is None else bl.get("attn"), attn_fn,
+                zero_ctx_tail=zero_ctx_tail,
             )
         return h
 
@@ -200,11 +202,13 @@ def unet_middle_init(kg: KeyGen, cfg: UNetConfig, emb_dim: int) -> Params:
 
 
 def unet_middle_apply(
-    p: Params, cfg: UNetConfig, h, emb, context, lora=None, attn_fn: AttnFn = xla_attention
+    p: Params, cfg: UNetConfig, h, emb, context, lora=None, attn_fn: AttnFn = xla_attention,
+    zero_ctx_tail: int = 0,
 ):
     lora = lora or {}
     h = resblock(p["res1"], h, emb)
-    h = spatial_transformer(p["attn"], h, context, cfg.num_heads, lora.get("attn"), attn_fn)
+    h = spatial_transformer(p["attn"], h, context, cfg.num_heads, lora.get("attn"), attn_fn,
+                            zero_ctx_tail=zero_ctx_tail)
     return resblock(p["res2"], h, emb)
 
 
@@ -276,6 +280,7 @@ def unet_decoder_apply(
     remat: bool = False,
     start: int = 0,
     stop: Optional[int] = None,
+    zero_ctx_tail: int = 0,
 ) -> jnp.ndarray:
     """Run output_blocks ``[start:stop)``; consumes skips from the END of ``hs`` (popped).
     Returns the running hidden state (callers apply the out norm/conv head)."""
@@ -288,6 +293,7 @@ def unet_decoder_apply(
             h = spatial_transformer(
                 bp["attn"], h, context, cfg.num_heads,
                 None if bl is None else bl.get("attn"), attn_fn,
+                zero_ctx_tail=zero_ctx_tail,
             )
         return h
 
@@ -317,6 +323,7 @@ def unet_apply(
     attn_fn: AttnFn = xla_attention,
     compute_dtype=jnp.float32,
     remat: bool = False,
+    zero_ctx_tail: int = 0,
 ) -> jnp.ndarray:
     """Predict epsilon. x [B,h,w,4] latent, t [B] int32, context [B,T,ctx].
 
@@ -331,16 +338,19 @@ def unet_apply(
     emb = unet_time_embed(p, cfg, t, compute_dtype)
 
     hs = unet_encoder_apply(
-        p["encoder"], cfg, x, emb, context, lora.get("encoder"), attn_fn, remat=remat
+        p["encoder"], cfg, x, emb, context, lora.get("encoder"), attn_fn, remat=remat,
+        zero_ctx_tail=zero_ctx_tail,
     )
-    h = unet_middle_apply(p["middle"], cfg, hs[-1], emb, context, lora.get("middle"), attn_fn)
+    h = unet_middle_apply(p["middle"], cfg, hs[-1], emb, context, lora.get("middle"), attn_fn,
+                          zero_ctx_tail=zero_ctx_tail)
 
     if control is not None:
         h = h + control[-1].astype(h.dtype)
         hs = [s + c.astype(s.dtype) for s, c in zip(hs, control[:-1])]
 
     h = unet_decoder_apply(
-        p["decoder"], cfg, h, hs, emb, context, lora.get("decoder"), attn_fn, remat=remat
+        p["decoder"], cfg, h, hs, emb, context, lora.get("decoder"), attn_fn, remat=remat,
+        zero_ctx_tail=zero_ctx_tail,
     )
     h = group_norm_silu(p["out_norm"], h)
     return conv(p["out_conv"], h).astype(jnp.float32)

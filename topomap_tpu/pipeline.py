@@ -207,12 +207,16 @@ def apply_model(
     control_scales: Optional[jnp.ndarray] = None,
     attn_fn: AttnFn = xla_attention,
     remat: bool = False,
+    zero_ctx_tail: int = 0,
 ) -> jnp.ndarray:
     """eps prediction with ControlNet conditioning.
 
     ``cond = {"crossattn": [B,T,D], "concat": [B,H,W,3]}`` — the jnp equivalent of the
     reference's ``{c_crossattn: [...], c_concat: [...]}``. An optional
     ``cond["hint_features"]`` carries the precomputed (scan-hoisted) hint-block output.
+    ``zero_ctx_tail``: static count of trailing batch items whose crossattn context is all
+    zeros (the CFG uncond half) — their cross-attentions collapse to the to_out bias,
+    bit-exactly (see ``models.attention.transformer_block``).
     """
     control = controlnet_apply(
         params["controlnet"],
@@ -228,6 +232,7 @@ def apply_model(
         hint_downscale=cfg.vae.downscale,
         remat=remat,
         guided_hint=cond.get("hint_features"),
+        zero_ctx_tail=zero_ctx_tail,
     )
     return unet_apply(
         params["unet"],
@@ -240,6 +245,7 @@ def apply_model(
         attn_fn=attn_fn,
         compute_dtype=cfg.compute_dtype,
         remat=remat,
+        zero_ctx_tail=zero_ctx_tail,
     )
 
 
@@ -262,6 +268,7 @@ def apply_model_cached(
     refresh,
     control_scales: Optional[jnp.ndarray] = None,
     attn_fn: AttnFn = xla_attention,
+    zero_ctx_tail: int = 0,
 ) -> tuple[jnp.ndarray, Params]:
     """DeepCache-style eps prediction (arXiv:2312.00858, opt-in; see
     ``DDIMConfig.deep_cache_interval``): on ``refresh`` steps the FULL UNet+ControlNet run
@@ -305,11 +312,12 @@ def apply_model_cached(
         guided = hint_block_apply(cp["input_hint_block"], hint, cfg.vae.downscale)
     c_hs_sh = unet_encoder_apply(
         cp["encoder"], ucfg, z, c_emb, ctx, cl.get("encoder"), attn_fn,
-        extra_first=guided, stop=n_enc_sh,
+        extra_first=guided, stop=n_enc_sh, zero_ctx_tail=zero_ctx_tail,
     )
     ctrl_sh = [scale(i, conv(cp["zero_convs"][i], s)) for i, s in enumerate(c_hs_sh)]
     u_hs_sh = unet_encoder_apply(
-        up["encoder"], ucfg, z, u_emb, ctx, ul.get("encoder"), attn_fn, stop=n_enc_sh
+        up["encoder"], ucfg, z, u_emb, ctx, ul.get("encoder"), attn_fn, stop=n_enc_sh,
+        zero_ctx_tail=zero_ctx_tail,
     )
 
     n_dec_total = len(up["decoder"]["blocks"])
@@ -317,10 +325,11 @@ def apply_model_cached(
     def deep(_):
         c_hs_dp = unet_encoder_apply(
             cp["encoder"], ucfg, c_hs_sh[-1], c_emb, ctx, cl.get("encoder"), attn_fn,
-            start=n_enc_sh,
+            start=n_enc_sh, zero_ctx_tail=zero_ctx_tail,
         )
         c_mid = unet_middle_apply(
-            cp["middle"], ucfg, c_hs_dp[-1], c_emb, ctx, cl.get("middle"), attn_fn
+            cp["middle"], ucfg, c_hs_dp[-1], c_emb, ctx, cl.get("middle"), attn_fn,
+            zero_ctx_tail=zero_ctx_tail,
         )
         ctrl_dp = [
             scale(n_enc_sh + i, conv(cp["zero_convs"][n_enc_sh + i], s))
@@ -330,16 +339,17 @@ def apply_model_cached(
 
         u_hs_dp = unet_encoder_apply(
             up["encoder"], ucfg, u_hs_sh[-1], u_emb, ctx, ul.get("encoder"), attn_fn,
-            start=n_enc_sh,
+            start=n_enc_sh, zero_ctx_tail=zero_ctx_tail,
         )
         u_mid = unet_middle_apply(
-            up["middle"], ucfg, u_hs_dp[-1], u_emb, ctx, ul.get("middle"), attn_fn
+            up["middle"], ucfg, u_hs_dp[-1], u_emb, ctx, ul.get("middle"), attn_fn,
+            zero_ctx_tail=zero_ctx_tail,
         )
         u_mid = u_mid + ctrl_mid.astype(u_mid.dtype)
         u_hs_dp = [s + c.astype(s.dtype) for s, c in zip(u_hs_dp, ctrl_dp)]
         h_deep = unet_decoder_apply(
             up["decoder"], ucfg, u_mid, u_hs_dp, u_emb, ctx, ul.get("decoder"), attn_fn,
-            stop=n_dec_total - n_dec_sh,
+            stop=n_dec_total - n_dec_sh, zero_ctx_tail=zero_ctx_tail,
         )
         return {"h_deep": h_deep.astype(cd)}
 
@@ -348,7 +358,7 @@ def apply_model_cached(
     u_hs_sh2 = [s + c.astype(s.dtype) for s, c in zip(u_hs_sh, ctrl_sh)]
     h = unet_decoder_apply(
         up["decoder"], ucfg, cache["h_deep"], u_hs_sh2, u_emb, ctx, ul.get("decoder"),
-        attn_fn, start=n_dec_total - n_dec_sh,
+        attn_fn, start=n_dec_total - n_dec_sh, zero_ctx_tail=zero_ctx_tail,
     )
     h = group_norm_silu(up["out_norm"], h)
     eps = conv(up["out_conv"], h).astype(jnp.float32)
@@ -406,10 +416,18 @@ def sample(
     b = seg.shape[0]
     ds = cfg.vae.downscale
     shape = (b, seg.shape[1] // ds, seg.shape[2] // ds, cfg.unet.in_channels)
+    zero_uncond = uncond_crossattn is None
     if uncond_crossattn is None:
         uncond_crossattn = jnp.zeros_like(crossattn)
+    # CFG zero-context shortcut: the reference's uncond embedding is a ZERO tensor, so in
+    # the 2B-batched parallel-CFG forwards ([cond; uncond] concat in core.ddim/dpm_solver)
+    # the trailing B items skip cross-attention entirely — bit-exact (see apply_model /
+    # models.attention.transformer_block). The batch size is static at trace time, so
+    # B-shaped calls (lazy-CFG branches, guidance-free) are simply unaffected.
+    tail = lambda z: b if (zero_uncond and z.shape[0] == 2 * b) else 0
     denoise = lambda z, t, c: apply_model(
-        params, cfg, z, t, c, control_scales=control_scales, attn_fn=attn_fn
+        params, cfg, z, t, c, control_scales=control_scales, attn_fn=attn_fn,
+        zero_ctx_tail=tail(z),
     )
     # hint block hoisted out of the DDIM scan: seg-only dependence, identical math
     gh = hint_features(params, cfg, seg)
@@ -419,7 +437,7 @@ def sample(
     if ddim.deep_cache_interval > 1:
         denoise_cached = lambda z, t, c, cache, refresh: apply_model_cached(
             params, cfg, z, t, c, cache, refresh,
-            control_scales=control_scales, attn_fn=attn_fn,
+            control_scales=control_scales, attn_fn=attn_fn, zero_ctx_tail=tail(z),
         )
         cb = b if ddim.guidance_scale == 1.0 else 2 * b
         cache0 = {
