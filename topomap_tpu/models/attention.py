@@ -320,16 +320,22 @@ def transformer_block(
         # reference protocol's ZERO uncond embedding (``vis_metrics.py:425``). With
         # bias-free to_k/to_v (LDM CrossAttention), K = V = 0 there, so softmax is uniform
         # over zero values and the block output is EXACTLY the to_out bias — no Q/K/V
-        # projection, kernel call, or out-projection needed for that half. Bit-exact
-        # (plain Q/K/V/out LoRA deltas also vanish on zero inputs); control-LoRA modes
-        # inject x-dependent deltas, so they take the full path.
+        # projection, kernel call, or out-projection needed for that half. The
+        # substitution is bit-exact per op (plain Q/K/V/out LoRA deltas also vanish on
+        # zero inputs); under jit the smaller graph can re-fuse neighbors, so compiled
+        # outputs agree to ~ULP. Control-LoRA modes inject x-dependent deltas, so they
+        # take the full path.
         bc = x.shape[0] - zero_ctx_tail
-        a = cross_attention(
-            p["attn2"], layer_norm_fused(p["norm2"], x[:bc]), context[:bc], heads, a2l, attn_fn
-        )
-        bias = p["attn2"]["to_out"]["b"].astype(a.dtype)
-        tail = jnp.broadcast_to(bias, (zero_ctx_tail, x.shape[1], bias.shape[-1]))
-        x = x + jnp.concatenate([a, tail], axis=0)
+        bias = p["attn2"]["to_out"]["b"].astype(x.dtype)
+        if bc == 0:  # whole batch is zero-context (lazy/sequential CFG uncond call)
+            x = x + jnp.broadcast_to(bias, (x.shape[0], x.shape[1], bias.shape[-1]))
+        else:
+            a = cross_attention(
+                p["attn2"], layer_norm_fused(p["norm2"], x[:bc]), context[:bc],
+                heads, a2l, attn_fn,
+            )
+            tail = jnp.broadcast_to(bias, (zero_ctx_tail, x.shape[1], bias.shape[-1]))
+            x = x + jnp.concatenate([a.astype(x.dtype), tail], axis=0)
     else:
         x = x + cross_attention(
             p["attn2"], layer_norm_fused(p["norm2"], x), context, heads, a2l, attn_fn

@@ -419,25 +419,33 @@ def sample(
     zero_uncond = uncond_crossattn is None
     if uncond_crossattn is None:
         uncond_crossattn = jnp.zeros_like(crossattn)
-    # CFG zero-context shortcut: the reference's uncond embedding is a ZERO tensor, so in
-    # the 2B-batched parallel-CFG forwards ([cond; uncond] concat in core.ddim/dpm_solver)
-    # the trailing B items skip cross-attention entirely — bit-exact (see apply_model /
-    # models.attention.transformer_block). The batch size is static at trace time, so
-    # B-shaped calls (lazy-CFG branches, guidance-free) are simply unaffected.
-    tail = lambda z: b if (zero_uncond and z.shape[0] == 2 * b) else 0
-    denoise = lambda z, t, c: apply_model(
-        params, cfg, z, t, c, control_scales=control_scales, attn_fn=attn_fn,
-        zero_ctx_tail=tail(z),
-    )
     # hint block hoisted out of the DDIM scan: seg-only dependence, identical math
     gh = hint_features(params, cfg, seg)
     cond = {"crossattn": crossattn, "concat": seg, "hint_features": gh}
     uncond = {"crossattn": uncond_crossattn, "concat": seg, "hint_features": gh}
+
+    # CFG zero-context shortcut: the reference's uncond embedding is a ZERO tensor, so
+    # cross-attention is skipped — bit-exactly (see apply_model / models.attention.
+    # transformer_block) — for (a) the trailing B items of the 2B parallel-CFG forwards
+    # ([cond; uncond] concat in core.ddim/dpm_solver; batch size is static at trace
+    # time) and (b) whole uncond-only calls (lazy/sequential CFG pass the ``uncond``
+    # dict by identity).
+    def tail(z, c):
+        if not zero_uncond:
+            return 0
+        if z.shape[0] == 2 * b:
+            return b
+        return z.shape[0] if c is uncond else 0
+
+    denoise = lambda z, t, c: apply_model(
+        params, cfg, z, t, c, control_scales=control_scales, attn_fn=attn_fn,
+        zero_ctx_tail=tail(z, c),
+    )
     denoise_cached = cache0 = None
     if ddim.deep_cache_interval > 1:
         denoise_cached = lambda z, t, c, cache, refresh: apply_model_cached(
             params, cfg, z, t, c, cache, refresh,
-            control_scales=control_scales, attn_fn=attn_fn, zero_ctx_tail=tail(z),
+            control_scales=control_scales, attn_fn=attn_fn, zero_ctx_tail=tail(z, c),
         )
         cb = b if ddim.guidance_scale == 1.0 else 2 * b
         cache0 = {
