@@ -42,9 +42,14 @@ def main():
     batch = int(os.environ.get("BATCH", "4"))
     n_tiles = int(os.environ.get("TILES", "100"))
     sampler = os.environ.get("SHEET_SAMPLER", "ddim")
+    kv_ds = int(os.environ.get("KV_DS", "1"))
     cfg = PipelineConfig.sd15_config3()
     sched = make_schedule(cfg.num_train_timesteps)
     attn = best_attention_fn()
+    if kv_ds > 1:  # opt-in ToDo K/V pooling (approximate; see models.attention)
+        from topomap_tpu.models.attention import with_kv_downsample
+
+        attn = with_kv_downsample(attn, kv_ds)
     ddim = DDIMConfig(steps, 7.5, deep_cache_interval=dc)
 
     print("init...", file=sys.stderr, flush=True)
@@ -74,7 +79,8 @@ def main():
         fn = jax.jit(lambda p, seg, r: sample(
             p, cfg, sched, ddim, r, seg, context, attn_fn=attn,
             decode_dtype=jnp.bfloat16))
-        mode = f"ddim-{steps}-cfg" + (f"-dc{dc}" if dc > 1 else "")
+        mode = f"ddim-{steps}-cfg" + (f"-dc{dc}" if dc > 1 else "") + \
+            (f"-kvds{kv_ds}" if kv_ds > 1 else "")
 
     print("compile + warmup...", file=sys.stderr, flush=True)
     warm = to_unit(jnp.asarray(tiles_np[:batch]))
@@ -89,7 +95,9 @@ def main():
         outs.append(from_signed(fn(params, seg, jax.random.PRNGKey(100 + start))))
     side = int(n_tiles ** 0.5)
     sheet = stitch_tiles(jnp.concatenate(outs, axis=0), side, side)
-    jax.block_until_ready(sheet)
+    # device_get of a checksum: block_until_ready does not synchronize every executable
+    # on this backend (see bench.py) — the scalar fetch forces a real round trip
+    jax.device_get(jnp.sum(sheet.astype(jnp.float32)))
     dt = time.perf_counter() - t0
     assert sheet.shape == (side * 512, side * 512, 3)
     print(json.dumps({
