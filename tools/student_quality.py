@@ -122,7 +122,11 @@ def main():
     print(f"  teacher: {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
 
     for mode in modes:
-        dcfg = DistillConfig(mode=mode, lora=LoRASpec.qkvo(16))
+        dcfg = DistillConfig(
+            mode=mode, lora=LoRASpec.qkvo(16),
+            loss=os.environ.get("LOSS", "mse"),
+            skip=int(os.environ.get("SKIP", "1")),
+        )
         with jax.default_device(cpu) if cpu is not None else contextlib.nullcontext():
             params = prepare_student(dict(base), cfg, dcfg, jax.random.PRNGKey(2))
         params = jax.device_put(params, dev)

@@ -306,7 +306,8 @@ def cmd_distill(args):
     out.mkdir(parents=True, exist_ok=True)
 
     dcfg = DistillConfig(mode=args.mode, lora=LoRASpec.qkvo(args.rank),
-                         teacher_steps=args.teacher_steps)
+                         teacher_steps=args.teacher_steps,
+                         loss=args.loss, skip=args.skip)
     params = prepare_student(params, cfg, dcfg, jax.random.PRNGKey(preset.seed + 7))
     tx, part = build_optimizer(
         params, OptimConfig("distill", total_steps=args.steps, warmup=max(1, args.steps // 20))
@@ -347,7 +348,8 @@ def cmd_distill(args):
             np.savez(out / f"{coll}_ema_step{step_num}.npz", **_flatten(params_ema[coll]))
         meta = {"mode": args.mode, "rank": args.rank, "step": step_num,
                 "guidance_scale": dcfg.guidance_scale, "teacher_steps": args.teacher_steps,
-                "sigma_data": dcfg.sigma_data, "timestep_scaling": dcfg.timestep_scaling}
+                "sigma_data": dcfg.sigma_data, "timestep_scaling": dcfg.timestep_scaling,
+                "loss": dcfg.loss, "skip": dcfg.skip}
         (out / "distill_meta.json").write_text(json.dumps(meta, indent=1))
 
     from topomap_tpu.eval.losslog import append_train, load_loss_log, save_loss_curve, save_loss_log
@@ -746,6 +748,10 @@ def build_parser():
     sp.add_argument("--rank", type=int, default=16, help="student LoRA rank (qkvo)")
     sp.add_argument("--teacher-steps", type=int, default=50,
                     help="consistency mode: teacher DDIM ladder length")
+    sp.add_argument("--loss", choices=["mse", "huber"], default="mse",
+                    help="distill loss: huber = LCM-style pseudo-Huber (c=0.001)")
+    sp.add_argument("--skip", type=int, default=1,
+                    help="consistency mode: teacher ladder points jumped per pair")
     sp.add_argument("--batch", type=int, default=None, help="override preset batch size")
     sp.add_argument("--log-every", type=int, default=50)
     sp.add_argument("--save-every", type=int, default=500)
