@@ -70,7 +70,8 @@ def main():
     ddim = DDIMConfig(num_steps=steps, guidance_scale=scale, eta=0.0, cfg_interval=cfg_interval,
                       deep_cache_interval=dc_interval,
                       unroll=int(os.environ.get("BENCH_UNROLL", "1")),
-                      solver=os.environ.get("BENCH_DDIM_SOLVER", "ddim"))
+                      solver=os.environ.get("BENCH_DDIM_SOLVER", "ddim"),
+                      cfg_fork=os.environ.get("BENCH_CFG_FORK", "1") == "1")
     which_attn = os.environ.get("BENCH_ATTN", "pallas_tt")
     if which_attn == "pallas":
         from topomap_tpu.ops.flash_attention import pallas_attention as attn_fn

@@ -44,6 +44,13 @@ class DDIMConfig:
     # lax.scan unroll factor for the denoising loop (compile-time pipelining experiment;
     # semantics identical, trades compile time/code size for scheduler freedom). 1 = off.
     unroll: int = 1
+    # CFG shared-prefix fork (exact): under parallel CFG both halves share x_t/t/hint, so
+    # everything before the FIRST cross-attention (conv_in, the first res-block and the
+    # expensive full-resolution self-attention — of the UNet AND the ControlNet copy) is
+    # computed once at batch B; hidden states duplicate to 2B only where the contexts
+    # diverge (models.attention.transformer_block). Bit-exact by construction; callers
+    # (pipeline.sample) build the forked conditioning and pass it as ``cond_fork2``.
+    cfg_fork: bool = False
     # "ddim" (reference semantics) or "dpm" (DPM-Solver++(2M), core/dpm_solver.py):
     # second-order ODE solver — 50-step-DDIM quality at ~15-20 evals, exact model math.
     # "dpm" is deterministic (eta ignored) and excludes cfg_interval/deep_cache_interval.
@@ -97,6 +104,7 @@ def ddim_sample(
     x_T: jnp.ndarray | None = None,
     denoise_cached=None,
     cache0: Any = None,
+    cond_fork2: Any = None,
 ) -> jnp.ndarray:
     """Sample latents ``x_0`` of ``shape`` = [B, H, W, C] with classifier-free guidance.
 
@@ -135,6 +143,9 @@ def ddim_sample(
             t_b = jnp.full((b,), ts[i], jnp.int32)
             if cfg.guidance_scale == 1.0:
                 eps, cache = denoise_cached(x_t, t_b, cond, cache, refresh)
+            elif cond_fork2 is not None:
+                # shared-prefix fork: batch-B latents, 2B contexts (see DDIMConfig.cfg_fork)
+                eps2, cache = denoise_cached(x_t, t_b, cond_fork2, cache, refresh)
             else:
                 eps2, cache = denoise_cached(
                     jnp.concatenate([x_t, x_t], axis=0),
@@ -143,6 +154,7 @@ def ddim_sample(
                     cache,
                     refresh,
                 )
+            if cfg.guidance_scale != 1.0:
                 eps_c, eps_u = eps2[:b], eps2[b:]
                 eps = eps_u + cfg.guidance_scale * (eps_c - eps_u)
             x_prev, step_rng = _ddim_update(
@@ -169,11 +181,15 @@ def ddim_sample(
                 lambda: eps_u_prev,
             )
         elif cfg.parallel_cfg:
-            eps2 = denoise_fn(
-                jnp.concatenate([x_t, x_t], axis=0),
-                jnp.concatenate([t_b, t_b], axis=0),
-                cond2,
-            )
+            if cond_fork2 is not None:
+                # shared-prefix fork: batch-B latents, 2B contexts (DDIMConfig.cfg_fork)
+                eps2 = denoise_fn(x_t, t_b, cond_fork2)
+            else:
+                eps2 = denoise_fn(
+                    jnp.concatenate([x_t, x_t], axis=0),
+                    jnp.concatenate([t_b, t_b], axis=0),
+                    cond2,
+                )
             eps_c, eps_u = eps2[:b], eps2[b:]
         else:
             eps_c = denoise_fn(x_t, t_b, cond)

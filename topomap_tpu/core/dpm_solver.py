@@ -73,6 +73,7 @@ def dpm_solver_sample(
     denoise_cached=None,
     cache0: Any = None,
     deep_cache_interval: int = 1,
+    cond_fork2: Any = None,
 ) -> jnp.ndarray:
     """Sample latents with DPM-Solver++(2M): ``num_steps`` model evaluations (each a
     2B-batched cond+uncond forward under guidance), one jitted ``lax.scan``.
@@ -108,12 +109,17 @@ def dpm_solver_sample(
             else:
                 eps = denoise_fn(x_t, t_b, cond)
         else:
-            x2 = jnp.concatenate([x_t, x_t], axis=0)
-            t2 = jnp.concatenate([t_b, t_b], axis=0)
-            if use_cache:
-                eps2, cache = denoise_cached(x2, t2, cond2, cache, refresh)
+            if cond_fork2 is not None:
+                # CFG shared-prefix fork: batch-B latents, 2B contexts (core.ddim.DDIMConfig)
+                x2, t2, c2 = x_t, t_b, cond_fork2
             else:
-                eps2 = denoise_fn(x2, t2, cond2)
+                x2 = jnp.concatenate([x_t, x_t], axis=0)
+                t2 = jnp.concatenate([t_b, t_b], axis=0)
+                c2 = cond2
+            if use_cache:
+                eps2, cache = denoise_cached(x2, t2, c2, cache, refresh)
+            else:
+                eps2 = denoise_fn(x2, t2, c2)
             eps = eps2[b:] + guidance_scale * (eps2[:b] - eps2[b:])
         return (x_t - sigmas[i] * eps) / alphas[i], cache
 

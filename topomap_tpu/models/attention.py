@@ -314,6 +314,15 @@ def transformer_block(
         p["attn1"], xn, None if self_kv_ds is None else self_kv_ds(xn),
         heads, lora.get("attn1"), attn_fn,
     )
+    if context.shape[0] > x.shape[0]:
+        # CFG shared-prefix fork: under parallel CFG the cond and uncond halves share
+        # x_t, t and hint, so every op BEFORE the first cross-attention is identical for
+        # both — the callers (pipeline.sample with DDIMConfig.cfg_fork) run the prefix at
+        # batch B and the hidden states duplicate here, where the contexts first diverge.
+        # Bit-exact: the tiled halves are equal up to this point by construction.
+        m, rem = divmod(context.shape[0], x.shape[0])
+        assert rem == 0, (context.shape, x.shape)
+        x = jnp.concatenate([x] * m, axis=0)
     a2l = lora.get("attn2")
     if zero_ctx_tail > 0 and (a2l is None or "control" not in a2l):
         # CFG zero-context shortcut: the trailing ``zero_ctx_tail`` batch items carry the
@@ -389,7 +398,9 @@ def spatial_transformer(
             zero_ctx_tail=zero_ctx_tail,
         )
     y = dense(p["proj_out"], y)
-    return y.reshape(b, h, w, c) + x_in
+    if y.shape[0] > b:  # CFG shared-prefix fork happened inside: tile the residual too
+        x_in = jnp.concatenate([x_in] * (y.shape[0] // b), axis=0)
+    return y.reshape(y.shape[0], h, w, c) + x_in
 
 
 def _idx(tree: Any, i: int):

@@ -79,6 +79,10 @@ def resblock_init(kg: KeyGen, c_in: int, c_out: int, emb_dim: int) -> Params:
 
 
 def resblock(p: Params, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
+    if emb.shape[0] != x.shape[0]:
+        # CFG shared-prefix fork (models.attention.transformer_block): post-fork blocks run
+        # at batch 2B while the time embedding was computed once at B (cond/uncond share t).
+        emb = jnp.concatenate([emb] * (x.shape[0] // emb.shape[0]), axis=0)
     h = conv(p["in_conv"], group_norm_silu(p["in_norm"], x))
     h = h + dense(p["emb"], silu(emb))[:, None, None, :].astype(h.dtype)
     h = conv(p["out_conv"], group_norm_silu(p["out_norm"], h))
@@ -287,6 +291,9 @@ def unet_decoder_apply(
     lora = lora or {}
 
     def dec_block(bp, bl, h, skip, emb, context):
+        if skip.shape[0] != h.shape[0]:
+            # pre-fork skips (conv_in output under the CFG shared-prefix fork) are batch B
+            skip = jnp.concatenate([skip] * (h.shape[0] // skip.shape[0]), axis=0)
         h = jnp.concatenate([h, skip], axis=-1)
         h = resblock(bp["res"], h, emb)
         if "attn" in bp:

@@ -433,14 +433,25 @@ def sample(
     def tail(z, c):
         if not zero_uncond:
             return 0
-        if z.shape[0] == 2 * b:
-            return b
+        if c["crossattn"].shape[0] == 2 * b:
+            return b  # 2B parallel-CFG batch, or batch-B shared-prefix fork (cfg_fork)
         return z.shape[0] if c is uncond else 0
 
     denoise = lambda z, t, c: apply_model(
         params, cfg, z, t, c, control_scales=control_scales, attn_fn=attn_fn,
         zero_ctx_tail=tail(z, c),
     )
+    # CFG shared-prefix fork (DDIMConfig.cfg_fork, exact): latents/t/hint stay at batch B;
+    # only the crossattn context is the 2B [cond; uncond] concat — apply_model duplicates
+    # the hidden states at the first cross-attention, where the halves first diverge.
+    cond_fork2 = None
+    if ddim.cfg_fork and ddim.parallel_cfg and ddim.guidance_scale != 1.0 \
+            and ddim.cfg_interval == 1:
+        cond_fork2 = {
+            "crossattn": jnp.concatenate([crossattn, uncond_crossattn], axis=0),
+            "concat": seg,
+            "hint_features": gh,
+        }
     denoise_cached = cache0 = None
     if ddim.deep_cache_interval > 1:
         denoise_cached = lambda z, t, c, cache, refresh: apply_model_cached(
@@ -460,10 +471,12 @@ def sample(
         z0 = dpm_solver_sample(denoise, sched, ddim.num_steps, ddim.guidance_scale, rng,
                                shape, cond, uncond, x_T=z_init, unroll=ddim.unroll,
                                denoise_cached=denoise_cached, cache0=cache0,
-                               deep_cache_interval=ddim.deep_cache_interval)
+                               deep_cache_interval=ddim.deep_cache_interval,
+                               cond_fork2=cond_fork2)
         return decode_latent(params, cfg, z0, decode_dtype) if decode else z0
     z0 = ddim_sample(denoise, sched, ddim, rng, shape, cond, uncond,
-                     denoise_cached=denoise_cached, cache0=cache0, x_T=z_init)
+                     denoise_cached=denoise_cached, cache0=cache0, x_T=z_init,
+                     cond_fork2=cond_fork2)
     return decode_latent(params, cfg, z0, decode_dtype) if decode else z0
 
 
