@@ -27,13 +27,7 @@ def main():
 
     from topomap_tpu.core import DDIMConfig, make_schedule
     from topomap_tpu.ops.flash_attention import best_attention_fn
-    from topomap_tpu.pipeline import (
-        PipelineConfig,
-        init_pipeline,
-        merge_for_sampling,
-        sample,
-        simulate_pretrained,
-    )
+    from topomap_tpu.pipeline import PipelineConfig, sample
 
     batch = int(os.environ.get("BATCH", "2"))
     steps = int(os.environ.get("STEPS", "50"))
@@ -43,22 +37,38 @@ def main():
     attn = best_attention_fn()
 
     print("init...", file=sys.stderr, flush=True)
-    try:
-        ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
-    except Exception:
-        ctx = contextlib.nullcontext()
-    with ctx:
-        params = simulate_pretrained(
-            init_pipeline(jax.random.PRNGKey(0), cfg), jax.random.PRNGKey(1)
-        )
-        params = {k: v for k, v in params.items()
-                  if k in ("unet", "vae", "controlnet", "unet_lora", "ctrl_lora")}
-        params = merge_for_sampling(params)
+    from _distill_common import init_base
+
+    params, provenance = init_base(cfg, merge=True)
+    data = os.environ.get("DATA")
+    if data:
+        # real-checkpoint mode (VERDICT r2 #3): measure trajectory divergence on REAL seg
+        # tiles + encoded prompts, not random conditioning
+        import numpy as np
+
+        from topomap_tpu.data.pairs import PairsDataset, read_pairs_jsonl
+        from topomap_tpu.pipeline import encode_text, make_tokenizers
+
+        recs = read_pairs_jsonl(data)
+        styled = [r for r in recs if r.prompt][: batch]
+        b = next(PairsDataset(styled, size=size).iter_batches(len(styled), shuffle=False))
+        tok, _ = make_tokenizers(cfg)
+        ids, mask = tok.encode(b["prompt"])
+        from _distill_common import cpu_ctx
+
+        _, ctx_mgr = cpu_ctx()
+        with ctx_mgr:
+            context = encode_text(params, cfg, jnp.asarray(ids), jnp.asarray(mask))
+        seg = jnp.asarray(np.asarray(b["seg"]))
+    else:
+        seg = jax.random.uniform(jax.random.PRNGKey(5), (batch, size, size, 3))
+        context = jax.random.normal(jax.random.PRNGKey(2), (batch, 77, cfg.unet.context_dim))
+    params = {k: v for k, v in params.items()
+              if k in ("unet", "vae", "controlnet", "unet_lora", "ctrl_lora")}
     params = jax.device_put(params, jax.devices()[0])
     jax.block_until_ready(jax.tree.leaves(params)[0])
-
-    seg = jax.random.uniform(jax.random.PRNGKey(5), (batch, size, size, 3))
-    context = jax.random.normal(jax.random.PRNGKey(2), (batch, 77, cfg.unet.context_dim))
+    seg = jax.device_put(seg, jax.devices()[0])
+    context = jax.device_put(context, jax.devices()[0])
 
     from topomap_tpu.models.attention import with_kv_downsample
 
@@ -99,7 +109,9 @@ def main():
             continue
         mse = float(np.mean((out - ref) ** 2))  # images in [-1,1], range 2
         result[name] = round(10 * np.log10(4.0 / max(mse, 1e-12)), 2)
-    print(json.dumps({"psnr_vs_exact_db": result, "steps": steps, "size": size}))
+    print(json.dumps({"psnr_vs_exact_db": result, "steps": steps, "size": size,
+                      "base": provenance,
+                      "conditioning": "real tiles+prompts" if data else "random"}))
 
 
 if __name__ == "__main__":

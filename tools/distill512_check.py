@@ -26,12 +26,7 @@ def main():
     from topomap_tpu.core import make_schedule
     from topomap_tpu.lora import LoRASpec
     from topomap_tpu.ops.flash_attention import best_attention_fn
-    from topomap_tpu.pipeline import (
-        PipelineConfig,
-        init_pipeline,
-        make_tokenizers,
-        simulate_pretrained,
-    )
+    from topomap_tpu.pipeline import PipelineConfig, make_tokenizers
     from topomap_tpu.train.distill import (
         DistillConfig,
         init_distill_state,
@@ -53,18 +48,12 @@ def main():
 
     print("init params on host cpu...", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
-    try:
-        cpu = jax.local_devices(backend="cpu")[0]
-    except Exception:
-        cpu = None
-    import contextlib
+    from _distill_common import cpu_ctx, init_base
 
-    with jax.default_device(cpu) if cpu is not None else contextlib.nullcontext():
-        params = simulate_pretrained(
-            init_pipeline(jax.random.PRNGKey(0), cfg), jax.random.PRNGKey(1)
-        )
+    _, _ctx = cpu_ctx()
+    params, provenance = init_base(cfg)
+    with _ctx:
         params = prepare_student(params, cfg, dcfg, jax.random.PRNGKey(2))
-        params.pop("clip", None)  # text path here uses BERT+adapter only
     params = jax.device_put(params, jax.devices()[0])
     jax.block_until_ready(jax.tree.leaves(params)[0])
     print(f"params ready in {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
@@ -226,6 +215,7 @@ def main():
         "final_ema": log["ema"][-1],
         "steps": len(log["step"]),
         "wall_s": round(total, 1),
+        "base": provenance,
     }))
 
 

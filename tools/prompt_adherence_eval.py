@@ -1,0 +1,204 @@
+"""Prompt-adherence artifact generator — the product-level proof VERDICT r2 asked for.
+
+Evaluates a trained ``prompt_adherence`` run at the image level, against the reference's
+own measurement contract:
+
+* **masked color MSE** per prompt on *generated* tiles — the generated pixels inside the
+  prompt's class mask (from the seg hint) are compared to the prompt's target RGB
+  (``/root/reference/LoRA_modified/quantitative_metrics.py:198-245`` measures MSE on
+  generated tiles; ``multiseg_colorprompts_addlrSD_maskloss.py:87-139`` defines the
+  class-mask extraction this mirrors);
+* a **shuffled-prompt control**: the same seg tiles sampled with a *wrong* prompt (a
+  derangement over the prompt suite). If prompts control colors, the matched-prompt
+  masked MSE must be markedly lower than the control's;
+* **MIoU** of the generated tile's segmentation against the seg hint's class mask —
+  through the trained seg U-Net stand-in when present (``evaluateCNSiegfried.py:66-80``),
+  else expected-palette matching;
+* a **concept grid PNG** (seg / generated / gt rows per prompt).
+
+Writes ``adherence_report.json`` + ``concept_grid.png`` + per-prompt sample PNGs into the
+run directory.
+
+Usage:  python tools/prompt_adherence_eval.py
+        [RUN=runs/prompt_adherence DATA=data/synth600/pairs.jsonl PER_PROMPT=4
+         STEPS=20 SCALE=7.5 SEED=1234 OUT=<RUN> SEG_W=runs/seg_unet/seg_unet.npz via env]
+"""
+import contextlib
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from topomap_tpu.configs.presets import get_preset
+    from topomap_tpu.core import make_schedule
+    from topomap_tpu.data.pairs import PairsDataset, read_pairs_jsonl, stratified_split_ratio
+    from topomap_tpu.data.synthetic import CLASS_COLORS, STYLE_PROMPTS
+    from topomap_tpu.eval.grids import save_concept_grid
+    from topomap_tpu.eval.metrics import mean_iou
+    from topomap_tpu.eval.sampling import sample_preview
+    from topomap_tpu.ops.image import from_signed, rgb_to_class_mask
+    from topomap_tpu.pipeline import init_pipeline, make_tokenizers, merge_for_sampling, simulate_pretrained
+    from topomap_tpu.train.optim import build_optimizer
+    from topomap_tpu.train.trainer import init_train_state
+    from topomap_tpu.utils.checkpoint import restore_latest
+
+    run = Path(os.environ.get("RUN", "runs/prompt_adherence"))
+    data = os.environ.get("DATA", "data/synth600/pairs.jsonl")
+    per_prompt = int(os.environ.get("PER_PROMPT", "4"))
+    steps = int(os.environ.get("STEPS", "20"))
+    scale = float(os.environ.get("SCALE", "7.5"))
+    seed = int(os.environ.get("SEED", "1234"))
+    size = int(os.environ.get("SIZE", "512"))
+    preset_name = os.environ.get("PRESET", "prompt_adherence")
+    out = Path(os.environ.get("OUT", str(run)))
+    out.mkdir(parents=True, exist_ok=True)
+
+    preset = get_preset(preset_name)
+    cfg = preset.pipeline
+    sched = make_schedule(cfg.num_train_timesteps)
+
+    print("init + restore...", file=sys.stderr, flush=True)
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except Exception:
+        cpu = None
+    dev = jax.devices()[0]
+    ctx = jax.default_device(cpu) if (cpu is not None and dev.platform != "cpu") else contextlib.nullcontext()
+    with ctx:
+        params = simulate_pretrained(init_pipeline(jax.random.PRNGKey(preset.seed), cfg),
+                                     jax.random.PRNGKey(preset.seed + 1))
+        tx, part = build_optimizer(params, preset.optim)
+        state = init_train_state(params, tx, part)
+    state, step = restore_latest(run / "ckpt", state)
+    if not step:
+        raise SystemExit(f"no checkpoint under {run}/ckpt")
+    print(f"restored step {step}", file=sys.stderr)
+    with ctx:
+        params = merge_for_sampling(state.params)
+    del state
+    params = jax.device_put(params, dev)
+    jax.block_until_ready(jax.tree.leaves(params)[0])
+
+    # segmentation model for the MIoU leg (trained stand-in preferred)
+    seg_model = None
+    seg_w = os.environ.get("SEG_W", "runs/seg_unet/seg_unet.npz")
+    if Path(seg_w).exists():
+        from topomap_tpu.models.unet_seg import SegUNetConfig, load_seg_weights, predict_classes
+
+        scfg = SegUNetConfig()
+        seg_model = (jax.device_put(load_seg_weights(seg_w, scfg), dev), scfg)
+        print(f"MIoU via trained seg U-Net {seg_w}", file=sys.stderr)
+
+    # ---- test split, grouped by styled prompt --------------------------------------
+    records = read_pairs_jsonl(data)
+    _, _, test_recs = stratified_split_ratio(records, shuffle_seed=preset.seed)
+    pool = test_recs or records
+    styled = [p for p in STYLE_PROMPTS if STYLE_PROMPTS[p]]  # prompts that recolor a class
+    by_prompt = {p: [r for r in pool if r.prompt == p][:per_prompt] for p in styled}
+    by_prompt = {p: rs for p, rs in by_prompt.items() if rs}
+    prompts = list(by_prompt)
+    # derangement: prompt i's tiles get sampled again with prompt i+1's text (wrong on
+    # purpose; every styled prompt targets a different color/class)
+    wrong = {p: prompts[(i + 1) % len(prompts)] for i, p in enumerate(prompts)}
+
+    tok, _ = make_tokenizers(cfg)
+    ds_cache = {}
+
+    def load_tiles(recs):
+        key = tuple(r.source for r in recs)
+        if key not in ds_cache:
+            ds = PairsDataset(list(recs), size=size)
+            b = next(ds.iter_batches(len(recs), shuffle=False))
+            ds_cache[key] = (np.asarray(b["seg"]), np.asarray(b["gt"]))
+        return ds_cache[key]
+
+    def run_batch(seg_np, prompt, n):
+        ids, mask = tok.encode([prompt] * n)
+        batch = {"seg": jnp.asarray(seg_np), "ids": jnp.asarray(ids), "mask": jnp.asarray(mask)}
+        img = sample_preview(params, cfg, sched, batch, steps=steps, scale=scale, seed=seed)
+        return np.asarray(from_signed(img))  # uint8 [n,H,W,3]
+
+    def masked_color_mse(gen_u8, seg_np, prompt):
+        """Mean squared 0-255 distance of generated pixels inside the prompt's class mask
+        to the prompt's target RGB (the adherence number)."""
+        (cls, target_rgb), = STYLE_PROMPTS[prompt].items()
+        src_rgb = np.asarray(CLASS_COLORS[cls], np.float32)
+        seg_u8 = np.round(seg_np * 255.0)
+        m = np.all(np.abs(seg_u8 - src_rgb) < 5.0, axis=-1)  # [n,H,W]
+        if not m.any():
+            return None, 0
+        diff = (gen_u8.astype(np.float32) - np.asarray(target_rgb, np.float32)) ** 2
+        return float(diff[m].mean()), int(m.sum())
+
+    report = {"run": str(run), "restored_step": int(step), "ddim_steps": steps,
+              "scale": scale, "seed": seed, "per_prompt": per_prompt,
+              "seg_model": "trained_unet" if seg_model else "palette_match",
+              "prompts": {}}
+    grid_rows = {"seg": [], "gen": [], "gt": []}
+    t0 = time.perf_counter()
+    for p in prompts:
+        recs = by_prompt[p]
+        seg_np, gt_np = load_tiles(recs)
+        n = seg_np.shape[0]
+        gen = run_batch(seg_np, p, n)
+        gen_wrong = run_batch(seg_np, wrong[p], n)
+        mse_match, npix = masked_color_mse(gen, seg_np, p)
+        mse_ctrl, _ = masked_color_mse(gen_wrong, seg_np, p)
+        # full-image MSE vs the styled ground truth (quantitative_metrics mse_rgb, 0-255)
+        gt_u8 = np.round((gt_np + 1.0) * 127.5)
+        img_mse = float(((gen.astype(np.float32) - gt_u8) ** 2).mean())
+        # MIoU vs the seg hint's class mask
+        gt_mask = np.asarray(rgb_to_class_mask(jnp.asarray(np.round(seg_np * 255).astype(np.uint8))))
+        if seg_model is not None:
+            sp, scfg = seg_model
+            pred_mask = np.asarray(predict_classes(sp, scfg, jnp.asarray(gen, jnp.float32) / 255.0))
+        else:
+            pred_mask = np.asarray(rgb_to_class_mask(jnp.asarray(gen)))
+        miou = float(np.mean([float(mean_iou(jnp.asarray(pred_mask[i]), jnp.asarray(gt_mask[i])))
+                              for i in range(n)]))
+        report["prompts"][p] = {
+            "n_tiles": n, "mask_pixels": npix,
+            "masked_color_mse_matched": mse_match,
+            "masked_color_mse_shuffled_control": mse_ctrl,
+            "control_over_matched_ratio": (mse_ctrl / mse_match) if mse_match else None,
+            "image_mse_vs_gt_0_255": img_mse,
+            "miou_vs_seg_hint": miou,
+            "wrong_prompt_used": wrong[p],
+        }
+        grid_rows["seg"].append((seg_np[0] * 255).astype(np.uint8))
+        grid_rows["gen"].append(gen[0])
+        grid_rows["gt"].append(gt_u8[0].astype(np.uint8))
+        print(f"[{time.perf_counter()-t0:6.1f}s] {p!r}: matched {mse_match and round(mse_match,1)} "
+              f"vs shuffled {mse_ctrl and round(mse_ctrl,1)}  miou {miou:.3f}", file=sys.stderr, flush=True)
+
+    matched = [v["masked_color_mse_matched"] for v in report["prompts"].values()
+               if v["masked_color_mse_matched"] is not None]
+    ctrl = [v["masked_color_mse_shuffled_control"] for v in report["prompts"].values()
+            if v["masked_color_mse_shuffled_control"] is not None]
+    report["summary"] = {
+        "mean_masked_color_mse_matched": float(np.mean(matched)) if matched else None,
+        "mean_masked_color_mse_shuffled_control": float(np.mean(ctrl)) if ctrl else None,
+        "mean_control_over_matched_ratio": float(np.mean(ctrl) / np.mean(matched)) if matched and ctrl else None,
+        "mean_miou": float(np.mean([v["miou_vs_seg_hint"] for v in report["prompts"].values()])),
+        "mean_image_mse_vs_gt": float(np.mean([v["image_mse_vs_gt_0_255"] for v in report["prompts"].values()])),
+    }
+    (out / "adherence_report.json").write_text(json.dumps(report, indent=1))
+    save_concept_grid(out / "concept_grid.png",
+                      np.stack(grid_rows["seg"]), np.stack(grid_rows["gen"]),
+                      np.stack(grid_rows["gt"]),
+                      prompt="prompt-adherence: seg / generated / gt (one tile per styled prompt)")
+    print(json.dumps(report["summary"]))
+    print(f"wrote {out/'adherence_report.json'} and {out/'concept_grid.png'}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -11,11 +11,12 @@ simulated-pretrained config-3 teacher, then samples the SAME seeds/conditioning 
 
 and reports PSNR / SSIM / MSE of each student output against the teacher output. With the
 simulated-pretrained base this measures distillation fidelity of the *architecture*
-(labeled as such); plug a real checkpoint in with ``CKPT=path`` for product numbers.
+(labeled as such); plug a real checkpoint in with ``CKPT=path`` (LDM file) or
+``RUN=train-run-dir`` (+ optional ``VAE=…npz``) for product numbers.
 
 Usage:  python tools/student_quality.py
         [STEPS=400 SCAN=20 BATCH=2 SIZE=512 MODES=consistency,guidance
-         STUDENT_STEPS=2,4,8 CKPT= via env]
+         STUDENT_STEPS=2,4,8 CKPT=|RUN=|VAE= via env]
 Prints one JSON line at the end.
 """
 import contextlib
@@ -39,12 +40,10 @@ def main():
     from topomap_tpu.ops.flash_attention import best_attention_fn
     from topomap_tpu.pipeline import (
         PipelineConfig,
-        init_pipeline,
         make_tokenizers,
         merge_for_sampling,
         sample,
         sample_consistency,
-        simulate_pretrained,
         encode_text,
     )
     from topomap_tpu.train.distill import (
@@ -71,19 +70,10 @@ def main():
     attn = best_attention_fn()
 
     print("init teacher on host cpu...", file=sys.stderr, flush=True)
-    try:
-        cpu = jax.local_devices(backend="cpu")[0]
-    except Exception:
-        cpu = None
-    with jax.default_device(cpu) if cpu is not None else contextlib.nullcontext():
-        base = simulate_pretrained(init_pipeline(jax.random.PRNGKey(0), cfg), jax.random.PRNGKey(1))
-        base.pop("clip", None)
-        ckpt = os.environ.get("CKPT")
-        if ckpt:
-            from topomap_tpu.utils.torch_ckpt import load_sd_checkpoint, read_torch_file
+    from _distill_common import cpu_ctx, init_base
 
-            base, rep = load_sd_checkpoint(base, cfg, read_torch_file(ckpt))
-            print(f"loaded {ckpt}: {rep['loaded']} tensors", file=sys.stderr)
+    cpu, _ctx = cpu_ctx()
+    base, provenance = init_base(cfg)
 
     # fixed eval conditioning (text encoded on the teacher tree, shared by everyone)
     tok, _ = make_tokenizers(cfg)
@@ -103,7 +93,7 @@ def main():
 
     dev = jax.devices()[0]
     result = {"size": size, "distill_steps": steps,
-              "base": "simulated_pretrained" if not os.environ.get("CKPT") else "ckpt",
+              "base": provenance,
               "teacher": f"{teacher_steps}-step DDIM CFG 7.5", "students": {}}
 
     # ---- teacher reference images (sampled once, from the merged teacher) -------------

@@ -512,6 +512,7 @@ def cmd_evaluate(args):
         from topomap_tpu.train.losses import lpips_init
 
         lpips_params = lpips_init(_jax.random.PRNGKey(0))
+    seg_model = _load_seg_model(getattr(args, "seg_weights", None))
     # group by prompt, sample ≤N per prompt (quantitative_metrics.py:123-145)
     by_prompt: dict[str, list] = {}
     for r in records:
@@ -551,6 +552,19 @@ def cmd_evaluate(args):
                 "psnr": float(psnr_rgb(pred, gt)),
                 "hist_l1": float(color_histogram_l1(pred, gt)),
             }
+            if seg_model is not None:
+                # MIoU of the generated tile's segmentation vs the seg hint's class mask
+                # (``evaluateCNSiegfried.py:66-80``)
+                from topomap_tpu.eval.metrics import mean_iou
+                from topomap_tpu.models.unet_seg import predict_classes
+                from topomap_tpu.ops.image import rgb_to_class_mask
+
+                sp, scfg = seg_model
+                pm = predict_classes(sp, scfg, (pred / 255.0)[None])[0]
+                gm = rgb_to_class_mask(
+                    jnp.round(jnp.asarray(item["seg"]) * 255.0).astype(jnp.uint8)
+                )
+                row["miou"] = float(mean_iou(pm, gm))
             if lpips_params is not None:
                 from topomap_tpu.train.losses import lpips_distance
 
@@ -564,7 +578,7 @@ def cmd_evaluate(args):
             print(f"{prompt[:40]:40s} mse {rows[-1]['mse']:8.2f} psnr {rows[-1]['psnr']:6.2f}")
     metric_keys = ["mse", "psnr", "hist_l1"] + (
         [lpips_key] if lpips_params is not None else []
-    )
+    ) + (["miou"] if seg_model is not None else [])
     means = {k: float(np.mean([r[k] for r in rows])) for k in metric_keys}
     print("means:", json.dumps(means))
     if args.out:
@@ -973,6 +987,9 @@ def build_parser():
                     help="torchvision VGG16 state dict -> reference-comparable 'lpips' column")
     sp.add_argument("--lpips-lin", default=None, metavar="LPIPS_PTH",
                     help="lpips-package checkpoint with lin{k} head weights (with --lpips-vgg)")
+    sp.add_argument("--seg-weights", default=None,
+                    help="segmentation model (.h5 keras or .npz) for an MIoU column; "
+                         "defaults to runs/seg_unet/seg_unet.npz when present")
     sp.add_argument("--out", default=None)
     sp.set_defaults(fn=cmd_evaluate)
 

@@ -145,6 +145,18 @@ def prompt_adherence() -> ExperimentPreset:
     )
 
 
+def prompt_adherence_warm() -> ExperimentPreset:
+    """Phase 1 of the prompt-adherence run: identical trainables/schedule but pure ε-MSE
+    (no in-graph VAE decode), so it fits batch 4 in one chip's HBM. Phase 2 resumes from
+    the same --out with the ``prompt_adherence`` preset (maskloss on, smaller batch) —
+    mirrors the reference's own staged maskloss resume (``maskloss.py:371-373,531``)."""
+    base = prompt_adherence()
+    return dataclasses.replace(
+        base, name="prompt_adherence_warm", use_maskloss=False,
+        description="prompt-adherence phase 1: eps-MSE only, batch 4",
+    )
+
+
 def adapter_only_overfit() -> ExperimentPreset:
     """experiment_overfit adapter(+kv LoRA) regime (``Training_sdfusion_bert_adapter_sample*``)."""
     return ExperimentPreset(
@@ -195,6 +207,7 @@ PRESETS = {
         config3_visibility,
         config3_maskloss,
         prompt_adherence,
+        prompt_adherence_warm,
         adapter_only_overfit,
         lpips_expanded,
         tiny_smoke,

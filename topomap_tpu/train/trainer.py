@@ -99,7 +99,10 @@ def make_train_step(
                 return total, aux
             if use_maskloss:
                 x0 = predict_start_from_noise(sched, z_noisy, t, eps_hat)
-                img_pred = (decode_latent(params, cfg, x0) + 1.0) * 0.5
+                # bf16 decode: the in-graph 512^2 decoder is the memory hot spot of the
+                # maskloss step (fp32 decode at batch 4 OOM'd 29.5G > 15.75G HBM); color
+                # targets are 8-bit so bf16 resolution is ample here.
+                img_pred = (decode_latent(params, cfg, x0, compute_dtype=jnp.bfloat16) + 1.0) * 0.5
                 gt01 = (batch["gt"] + 1.0) * 0.5
                 lc, ls = masked_color_losses(img_pred, gt01, batch["seg"], batch["class_rgb"])
                 total = maskloss_total(mse, lc, ls, state.step, maskloss_warmup)
