@@ -72,6 +72,39 @@ def test_filtered_save_load(tmp_path):
     )
 
 
+def test_cli_train_maskloss_synthetic_palette(tmp_path):
+    """Drives the in-graph maskloss path (x0 decode + masked color loss, synthetic seg
+    palette) end-to-end through the CLI — the prompt_adherence phase-2 step in CI size."""
+    data_dir = tmp_path / "data"
+    cli_main(["make-data", "--out", str(data_dir), "--tiles", "2"])
+    run_dir = tmp_path / "run"
+    cli_main([
+        "train", "--preset", "tiny_maskloss", "--data", str(data_dir / "pairs.jsonl"),
+        "--out", str(run_dir), "--steps", "4", "--size", "32", "--log-every", "2",
+    ])
+    log = json.loads((run_dir / "loss_log.json").read_text())
+    assert len(log["step"]) == 4
+    assert all(np.isfinite(v) for v in log["train_mse"])
+
+
+def test_filtered_load_fp16_upcasts(tmp_path):
+    """Committed interchange artifacts may be fp16 (half the repo cost); the overlay load
+    must upcast to the template's compute dtype so downstream matmuls stay fp32."""
+    cfg = PipelineConfig.tiny()
+    params = init_pipeline(jax.random.PRNGKey(0), cfg)
+    save_filtered(tmp_path, params, 5)
+    flat = dict(np.load(tmp_path / "adapter_step5.npz"))
+    np.savez(tmp_path / "adapter_fp16.npz",
+             **{k: v.astype(np.float16) for k, v in flat.items()})
+    other = init_pipeline(jax.random.PRNGKey(1), cfg)
+    merged = load_filtered(other, tmp_path / "adapter_fp16.npz", "adapter")
+    got = np.asarray(merged["adapter"]["out"]["w"])
+    assert got.dtype == np.asarray(other["adapter"]["out"]["w"]).dtype
+    np.testing.assert_allclose(
+        got, np.asarray(params["adapter"]["out"]["w"]), atol=1e-3, rtol=1e-2
+    )
+
+
 def test_cli_make_data_train_sample_evaluate(tmp_path):
     data_dir = tmp_path / "data"
     cli_main(["make-data", "--out", str(data_dir), "--tiles", "2"])

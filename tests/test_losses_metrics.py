@@ -72,6 +72,30 @@ def test_no_class_prompt_gives_empty_mask():
     assert mask.sum() == 0
 
 
+def test_synthetic_palette_masks_every_styled_prompt():
+    """With palette="synthetic", every STYLE_PROMPTS entry that recolors a class must
+    extract a non-empty mask from a synthetic seg tile — the reference palette misses
+    Building (82,82,82 vs createMask's 5,5,5) and Background, silently zeroing the
+    color loss for those prompts."""
+    from topomap_tpu.data.synthetic import STYLE_PROMPTS, generate_seg_tile, SyntheticTileConfig
+
+    cfg = SyntheticTileConfig(size=128, n_blobs=4, n_lines=6, n_buildings=6)
+    styled = [p for p in STYLE_PROMPTS if STYLE_PROMPTS[p]]
+    rgb = prompt_class_rgb(styled, palette="synthetic")
+    # line kinds are drawn at random per tile — accumulate over a few seeds so every
+    # class (roads included) appears somewhere, as it does in a real dataset
+    per_prompt = np.zeros(len(styled))
+    for seed in range(4):
+        seg = jnp.asarray(generate_seg_tile(seed, cfg), jnp.float32)[None] / 255.0
+        mask = np.asarray(extract_rgb_mask(jnp.tile(seg, (len(styled), 1, 1, 1)), rgb))
+        per_prompt += mask.sum(axis=(1, 2, 3))
+    assert (per_prompt > 0).all(), dict(zip(styled, per_prompt.tolist()))
+    # the reference palette, for comparison, must still resolve Forest identically
+    np.testing.assert_array_equal(
+        np.asarray(prompt_class_rgb(["Set Forest color to dark green"])), [[77, 175, 74]]
+    )
+
+
 def test_ssim_identity_and_bounds():
     img = jax.random.uniform(jax.random.PRNGKey(0), (2, 16, 16, 3))
     np.testing.assert_allclose(float(ssim_3x3(img, img)), 1.0, atol=1e-5)

@@ -206,7 +206,7 @@ def cmd_train(args):
             "mask": jnp.asarray(mask),
         }
         if preset.use_maskloss:
-            batch["class_rgb"] = prompt_class_rgb(b["prompt"])
+            batch["class_rgb"] = prompt_class_rgb(b["prompt"], palette=preset.maskloss_palette)
         return batch
 
     from topomap_tpu.utils.observability import StepTimer, ThroughputLog, profile_trace

@@ -30,6 +30,7 @@ class ExperimentPreset:
     seed: int = 42
     use_maskloss: bool = False
     maskloss_warmup: int = 10_000
+    maskloss_palette: str = "reference"  # seg palette for mask extraction (see prompt_class_rgb)
     use_lpips: bool = False
     repeat_dataset: int = 1  # overfit regimes repeat items
     description: str = ""
@@ -141,6 +142,7 @@ def prompt_adherence() -> ExperimentPreset:
         val_every=1_000,
         use_maskloss=True,
         maskloss_warmup=6_000,
+        maskloss_palette="synthetic",
         description="config-3 + maskloss on the synthetic multi-prompt suite, short schedule",
     )
 
@@ -197,6 +199,17 @@ def tiny_smoke() -> ExperimentPreset:
     )
 
 
+def tiny_maskloss() -> ExperimentPreset:
+    """CI-size maskloss preset: drives the in-graph x0-decode + masked-color-loss path
+    (and the synthetic mask palette) end-to-end, mirroring ``prompt_adherence``."""
+    base = tiny_smoke()
+    return dataclasses.replace(
+        base, name="tiny_maskloss", use_maskloss=True, maskloss_warmup=2,
+        maskloss_palette="synthetic",
+        description="tiny maskloss preset for tests",
+    )
+
+
 PRESETS = {
     p().name: p
     for p in (
@@ -211,6 +224,7 @@ PRESETS = {
         adapter_only_overfit,
         lpips_expanded,
         tiny_smoke,
+        tiny_maskloss,
     )
 }
 

@@ -71,9 +71,37 @@ def parse_prompt_class(prompt: str) -> str | None:
     return None
 
 
-def prompt_class_rgb(prompts: list[str]) -> jnp.ndarray:
+def prompt_class_rgb(prompts: list[str], palette: str = "reference") -> jnp.ndarray:
     """Host helper: per-prompt target RGB, or (−1,−1,−1) when no class matches (mask will
-    be empty). Returns [B, 3] float32 in 0-255."""
+    be empty). Returns [B, 3] float32 in 0-255.
+
+    ``palette`` selects the seg-tile color space the mask is extracted from:
+
+    * ``"reference"`` — the maskloss script's Siegfried-style palette
+      (``maskloss.py:54-64``), for reference-rendered tiles;
+    * ``"synthetic"`` — the ``data/synthetic.py`` tiles, painted in the createMask
+      *train* palette (``createMask.py:33-81``), whose Building is (5,5,5) not
+      (82,82,82) and which has a Background class. A prompt that exactly matches a
+      ``STYLE_PROMPTS`` entry resolves to the class it restyles; otherwise the
+      reference keyword parse runs against the synthetic palette.
+    """
+    if palette == "synthetic":
+        from topomap_tpu.data.synthetic import CLASS_COLORS, STYLE_PROMPTS
+
+        kw_to_syn = {"Building": "building", "Lake": "lake", "Forest": "forest",
+                     "Road": "roads", "River": "river", "Stream": "stream",
+                     "Background": "background"}
+        out = []
+        for p in prompts:
+            recolor = STYLE_PROMPTS.get(p)
+            if recolor:
+                (syn_cls, _), = recolor.items()
+                out.append(CLASS_COLORS[syn_cls])
+                continue
+            cls = parse_prompt_class(p) or ("Background" if "Background" in p else None)
+            syn = kw_to_syn.get(cls.replace("Street_road", "Road") if cls else "", None)
+            out.append(CLASS_COLORS[syn] if syn else (-1.0, -1.0, -1.0))
+        return jnp.asarray(out, jnp.float32)
     out = []
     for p in prompts:
         cls = parse_prompt_class(p)

@@ -125,6 +125,15 @@ def _unflatten_into(tree: Params, flat: dict[str, np.ndarray]) -> Params:
             return node[p]
         return node[int(p)]  # LoRA trees key blocks by int
 
+    def _cast(val, ref):
+        # Committed interchange artifacts may be stored fp16 to halve the repo cost
+        # (e.g. the pretrained-VAE overlay); upcast to the template's compute dtype.
+        v = jnp.asarray(val)
+        if (v.dtype == jnp.float16 and hasattr(ref, "dtype")
+                and jnp.issubdtype(ref.dtype, jnp.floating)):
+            return v.astype(ref.dtype)
+        return v
+
     out = copy.deepcopy(tree)
     for key, val in flat.items():
         node = out
@@ -133,11 +142,11 @@ def _unflatten_into(tree: Params, flat: dict[str, np.ndarray]) -> Params:
             node = _descend(node, p)
         last = parts[-1]
         if isinstance(node, (list, tuple)):
-            node[int(last)] = jnp.asarray(val)
+            node[int(last)] = _cast(val, node[int(last)])
         elif last in node:
-            node[last] = jnp.asarray(val)
+            node[last] = _cast(val, node[last])
         else:
-            node[int(last)] = jnp.asarray(val)
+            node[int(last)] = _cast(val, node[int(last)])
     return out
 
 
