@@ -174,3 +174,41 @@ def test_guidance_free_ddim_single_eval_path():
     out = sample(params, CFG, SCHED, DDIMConfig(3, guidance_scale=1.0),
                  jax.random.PRNGKey(0), seg, c)
     assert out.shape == (1, 32, 32, 3) and np.isfinite(np.asarray(out)).all()
+
+
+def test_load_distill_preserves_task_lora(tmp_path):
+    """_load_distill must fold a trained TASK LoRA into the trunk before attaching the
+    student adapters — the student was distilled against the task-merged teacher
+    (prepare_student), so dropping the task trees would sample the raw base."""
+    import json
+
+    from topomap_tpu.cli.main import _load_distill
+    from topomap_tpu.lora import LoRASpec, build_lora_tree, merge_lora
+    from topomap_tpu.utils.checkpoint import _flatten
+
+    params = simulate_pretrained(init_pipeline(jax.random.PRNGKey(0), CFG),
+                                 jax.random.PRNGKey(1))
+    # a "trained" task LoRA: randomize B so the delta is nonzero
+    task = build_lora_tree(params["unet"], LoRASpec.qkv(2, 2), jax.random.PRNGKey(2))
+    task = jax.tree.map(lambda x: jax.random.normal(jax.random.PRNGKey(3), x.shape) * 0.1,
+                        task)
+    params["unet_lora"] = task
+    expect_unet = merge_lora(params["unet"], task)
+
+    # a saved distill run whose student adapters are exact zeros (identity student)
+    d = tmp_path / "distill"
+    d.mkdir()
+    spec = LoRASpec.qkvo(2)
+    zero_u = jax.tree.map(jnp.zeros_like,
+                          build_lora_tree(expect_unet, spec, jax.random.PRNGKey(4)))
+    zero_c = jax.tree.map(jnp.zeros_like,
+                          build_lora_tree(params["controlnet"], spec, jax.random.PRNGKey(5)))
+    np.savez(d / "unet_lora_step5.npz", **_flatten(zero_u))
+    np.savez(d / "ctrl_lora_step5.npz", **_flatten(zero_c))
+    (d / "distill_meta.json").write_text(json.dumps(
+        {"mode": "consistency", "rank": 2, "step": 5, "guidance_scale": 7.5}))
+
+    merged, meta = _load_distill(d, params, CFG)
+    assert meta["mode"] == "consistency"
+    for a, b in zip(jax.tree.leaves(merged["unet"]), jax.tree.leaves(expect_unet)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -334,7 +334,10 @@ def _load_distill(distill_dir, params, cfg):
     d = Path(distill_dir)
     meta = json.loads((d / "distill_meta.json").read_text())
     spec = LoRASpec.qkvo(meta["rank"])
-    params = dict(params)
+    # Fold any TASK LoRA (a --ckpt trained run) into the trunk first — prepare_student
+    # distilled against the task-merged teacher, so dropping the task trees here would
+    # silently sample the un-finetuned base under the student adapters.
+    params = merge_for_sampling(dict(params))
     params["unet_lora"] = build_lora_tree(params["unet"], spec, jax.random.PRNGKey(0))
     params["ctrl_lora"] = build_lora_tree(params["controlnet"], spec, jax.random.PRNGKey(1))
     step = meta["step"]
