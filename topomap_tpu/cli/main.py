@@ -820,7 +820,12 @@ def cmd_train_seg(args):
             both = random_crops(np.concatenate([img, seg_u8 / 255.0], axis=-1), crop, rng)
             img, seg01 = both[..., :3], both[..., 3:]
             seg_u8 = np.round(seg01 * 255.0).astype(np.uint8)
-        mask = np.asarray(rgb_to_class_mask(jnp.asarray(seg_u8)))
+        # Mask extraction on the HOST backend: eagerly running the ~30 palette ops through
+        # the remote-TPU tunnel cost ~2 s/step (the jitted train step itself is ~0.1 s).
+        mctx = jax.default_device(cpu) if (cpu is not None and dev.platform != "cpu") \
+            else contextlib.nullcontext()
+        with mctx:
+            mask = np.asarray(rgb_to_class_mask(jnp.asarray(seg_u8)))
         return jnp.asarray(img), jnp.asarray(mask)
 
     it = ds.iter_batches(args.batch, shuffle=True, seed=args.seed)
