@@ -17,6 +17,9 @@ simulated-pretrained base this measures distillation fidelity of the *architectu
 Usage:  python tools/student_quality.py
         [STEPS=400 SCAN=20 BATCH=2 SIZE=512 MODES=consistency,guidance
          STUDENT_STEPS=2,4,8 CKPT=|RUN=|VAE= via env]
+        DISTILL_RUN=<cli-distill out dir>  evaluates that saved student (EMA adapters +
+        its meta sampler kwargs) instead of probe-distilling in-tool;
+        DATA=<pairs.jsonl>  swaps random conditioning for real seg tiles + their prompts.
 Prints one JSON line at the end.
 """
 import contextlib
@@ -65,7 +68,8 @@ def main():
     student_steps = [int(s) for s in os.environ.get("STUDENT_STEPS", "2,4,8").split(",")]
     teacher_steps = int(os.environ.get("TEACHER_STEPS", "50"))
 
-    cfg = PipelineConfig.sd15_config3()
+    # PIPE=tiny lets the CPU smoke test drive the DISTILL_RUN path on the tiny pipeline
+    cfg = getattr(PipelineConfig, os.environ.get("PIPE", "sd15_config3"))()
     sched = make_schedule(cfg.num_train_timesteps)
     attn = best_attention_fn()
 
@@ -75,13 +79,26 @@ def main():
     cpu, _ctx = cpu_ctx()
     base, provenance = init_base(cfg)
 
-    # fixed eval conditioning (text encoded on the teacher tree, shared by everyone)
+    # fixed eval conditioning (text encoded on the teacher tree, shared by everyone);
+    # DATA=pairs.jsonl swaps the random conditioning for real seg tiles + their prompts
+    # (the product-numbers mode VERDICT r2 #2 asks for, paired with RUN=/DISTILL_RUN=)
     tok, _ = make_tokenizers(cfg)
-    prompts = ["Set Forest color to dark green", "Render Road as a dashed line pattern"]
+    data = os.environ.get("DATA")
+    if data:
+        from topomap_tpu.data.pairs import PairsDataset, read_pairs_jsonl
+
+        ds = PairsDataset(read_pairs_jsonl(data), size=size)
+        b = next(ds.iter_batches(batch, shuffle=True, seed=0))
+        prompts = list(b["prompt"])
+        seg_np = np.asarray(b["seg"], np.float32)
+        gt_np = np.asarray(b["gt"], np.float32)
+        print(f"eval tiles from {data}: {prompts}", file=sys.stderr, flush=True)
+    else:
+        prompts = ["Set Forest color to dark green", "Render Road as a dashed line pattern"]
+        rng_np = np.random.default_rng(0)
+        seg_np = rng_np.random((batch, size, size, 3), dtype=np.float32)
+        gt_np = rng_np.random((batch, size, size, 3), dtype=np.float32) * 2.0 - 1.0
     ids, mask = tok.encode((prompts * batch)[:batch])
-    rng_np = np.random.default_rng(0)
-    seg_np = rng_np.random((batch, size, size, 3), dtype=np.float32)
-    gt_np = rng_np.random((batch, size, size, 3), dtype=np.float32) * 2.0 - 1.0
 
     def metrics(img, ref):
         img = np.asarray(img, np.float32)
@@ -110,6 +127,46 @@ def main():
                                        seg, c, attn_fn=attn, decode_dtype=jnp.bfloat16))
     ref_img = jax.device_get(t_fn(t_params, jax.random.PRNGKey(0))).astype(np.float32)
     print(f"  teacher: {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
+
+    distill_run = os.environ.get("DISTILL_RUN")
+    if distill_run:
+        # Saved long-schedule run (CLI `distill` output dir): load + merge its EMA student
+        # adapters over the SAME base/overlays the teacher used, evaluate, and return —
+        # this is how a production distill run gets its quality column (VERDICT r2 #2).
+        from topomap_tpu.cli.main import _load_distill
+
+        with jax.default_device(cpu) if cpu is not None else contextlib.nullcontext():
+            s_params, meta = _load_distill(distill_run, dict(base), cfg)
+        s_params = jax.device_put(s_params, dev)
+        jax.block_until_ready(jax.tree.leaves(s_params)[0])
+        result["distill_run"] = {k: meta.get(k) for k in
+                                 ("mode", "rank", "step", "loss", "skip", "teacher_steps")}
+        entry = {}
+        if meta["mode"] == "consistency":
+            for n in student_steps:
+                fn = jax.jit(lambda p, r, n=n: sample_consistency(
+                    p, cfg, sched, n, r, seg, c,
+                    attn_fn=attn, decode_dtype=jnp.bfloat16,
+                    sigma_data=meta.get("sigma_data", 0.5),
+                    timestep_scaling=meta.get("timestep_scaling", 10.0)))
+                t0 = time.perf_counter()
+                img = jax.device_get(fn(s_params, jax.random.PRNGKey(0)))
+                entry[f"{n}_step"] = metrics(img, ref_img)
+                entry[f"{n}_step"]["wall_s"] = round(time.perf_counter() - t0, 1)
+                print(f"  saved {meta['mode']} {n}-step: {entry[f'{n}_step']}",
+                      file=sys.stderr, flush=True)
+        else:
+            fn = jax.jit(lambda p, r: sample(p, cfg, sched, DDIMConfig(teacher_steps, 1.0),
+                                             r, seg, c, attn_fn=attn,
+                                             decode_dtype=jnp.bfloat16))
+            t0 = time.perf_counter()
+            img = jax.device_get(fn(s_params, jax.random.PRNGKey(0)))
+            entry[f"{teacher_steps}_step_cfg_free"] = metrics(img, ref_img)
+            entry[f"{teacher_steps}_step_cfg_free"]["wall_s"] = round(time.perf_counter() - t0, 1)
+            print(f"  saved {meta['mode']}: {entry}", file=sys.stderr, flush=True)
+        result["students"][f"{meta['mode']}@{meta['step']}"] = entry
+        print(json.dumps(result))
+        return
 
     for mode in modes:
         dcfg = DistillConfig(
