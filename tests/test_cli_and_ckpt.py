@@ -87,6 +87,28 @@ def test_cli_train_maskloss_synthetic_palette(tmp_path):
     assert all(np.isfinite(v) for v in log["train_mse"])
 
 
+def test_cli_train_resume(tmp_path, capsys):
+    """Auto-resume through the CLI: a second ``train`` over the same --out picks up from
+    the newest Orbax step and trains to the new total. Covers the host-side restore
+    (restore_latest to_host=True) that keeps resume at fresh-run HBM levels — the
+    on-device-template restore OOM'd the v5e mid round 3."""
+    data_dir = tmp_path / "data"
+    cli_main(["make-data", "--out", str(data_dir), "--tiles", "2"])
+    run_dir = tmp_path / "run"
+    base = [
+        "train", "--preset", "tiny_smoke", "--data", str(data_dir / "pairs.jsonl"),
+        "--out", str(run_dir), "--size", "32", "--log-every", "2",
+    ]
+    cli_main(base + ["--steps", "4"])
+    capsys.readouterr()
+    cli_main(base + ["--steps", "8", "--scan-steps", "2"])
+    out = capsys.readouterr().out
+    assert "resumed from step 4" in out
+    log = json.loads((run_dir / "loss_log.json").read_text())
+    assert log["step"][-1] == 8
+    assert all(np.isfinite(v) for v in log["train_mse"])
+
+
 def test_filtered_load_fp16_upcasts(tmp_path):
     """Committed interchange artifacts may be fp16 (half the repo cost); the overlay load
     must upcast to the template's compute dtype so downstream matmuls stay fp32."""

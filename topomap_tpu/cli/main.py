@@ -176,7 +176,10 @@ def cmd_train(args):
 
     tx, part = build_optimizer(params, preset.optim)
     state = init_train_state(params, tx, part)
-    state, start_step = restore_latest(out / "ckpt", state)
+    # Restore to host and drop the on-device template (``params`` aliases
+    # state.params): keeps resume at fresh-run HBM levels — see restore_latest.
+    state, start_step = restore_latest(out / "ckpt", state, to_host=True)
+    del params
     if start_step:
         print(f"resumed from step {start_step}")
 
@@ -266,7 +269,8 @@ def cmd_train(args):
             print(f"step {step}/{steps} loss {losses[-1]:.4f} ema {ema:.4f} "
                   f"({timer.steps_per_sec * len(losses):.2f} it/s, "
                   f"{timer.items_per_sec(preset.batch_size * len(losses)):.2f} tiles/s)")
-            tp_log.write(step, timer, preset.batch_size * len(losses))
+            tp_log.write(step, timer, preset.batch_size * len(losses),
+                         steps_per_dispatch=len(losses))
         if step % preset.val_every == 0 or step >= steps:
             vb = to_device_batch(next(val_ds.iter_batches(min(4, len(val_ds)), shuffle=False)))
             val_mse = float(val_fn(state.params, vb))
@@ -480,9 +484,12 @@ def _maybe_restore(args, preset, cfg, params):
 
         tx, part = build_optimizer(params, preset.optim)
         state = init_train_state(params, tx, part)
-        state, step = restore_latest(Path(args.ckpt) / "ckpt", state)
+        # Host-side restore: eval/sampling paths only need params — never put the
+        # checkpoint's optimizer state (Adam mu/nu, GBs) on the chip.
+        state, step = restore_latest(Path(args.ckpt) / "ckpt", state, to_host=True)
         print(f"restored step {step}")
         params = state.params
+        del state
     from topomap_tpu.pipeline import merge_for_sampling
 
     return merge_for_sampling(params)

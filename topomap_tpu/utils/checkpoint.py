@@ -68,9 +68,17 @@ def wait_for_checkpoints(directory: str | Path | None = None) -> None:
         mgr.wait_until_finished()
 
 
-def restore_latest(directory: str | Path, state):
+def restore_latest(directory: str | Path, state, to_host: bool = False):
     """Restore the newest checkpoint into the given (template) TrainState; returns
-    (state, step) — (state, 0) untouched when no checkpoint exists."""
+    (state, step) — (state, 0) untouched when no checkpoint exists.
+
+    ``to_host=True`` restores onto host-memory numpy buffers instead of the template's
+    device placement. With an on-device template, Orbax materializes a SECOND full
+    on-device copy of params+opt_state during restore — on a 1.3B-param bundle that
+    doubles HBM pressure and OOM'd the v5e on resume (round-3 chip chain). The host
+    tree flows back to the device on its first jitted use (one transfer), so callers
+    pay no steady-state cost; they must just drop their own references to the device
+    template so it can be freed before that first dispatch."""
     import orbax.checkpoint as ocp
     import dataclasses
     import jax.numpy as jnp
@@ -79,10 +87,13 @@ def restore_latest(directory: str | Path, state):
     step = mgr.latest_step()
     if step is None:
         return state, 0
-    restored = mgr.restore(
-        step,
-        args=ocp.args.StandardRestore({"params": state.params, "opt_state": state.opt_state}),
-    )
+    template = {"params": state.params, "opt_state": state.opt_state}
+    if to_host:
+        template = jax.tree.map(
+            lambda x: np.zeros(np.shape(x), x.dtype) if hasattr(x, "dtype") else x,
+            template,
+        )
+    restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
     state = dataclasses.replace(
         state,
         params=restored["params"],

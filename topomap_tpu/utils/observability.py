@@ -64,14 +64,17 @@ class ThroughputLog:
         self.path = Path(path)
         self.path.parent.mkdir(parents=True, exist_ok=True)
 
-    def write(self, step: int, timer: StepTimer, items_per_step: int) -> None:
+    def write(self, step: int, timer: StepTimer, items_per_step: int,
+              steps_per_dispatch: int = 1) -> None:
+        # timer counts dispatches; with lax.scan chunks one dispatch covers
+        # steps_per_dispatch optimizer steps — record optimizer-steps/s, not chunks/s.
         with open(self.path, "a") as f:
             f.write(
                 json.dumps(
                     {
                         "step": step,
                         "time": time.time(),
-                        "steps_per_sec": timer.steps_per_sec,
+                        "steps_per_sec": timer.steps_per_sec * steps_per_dispatch,
                         "tiles_per_sec": timer.items_per_sec(items_per_step),
                     }
                 )
