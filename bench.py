@@ -58,7 +58,7 @@ def main():
     tiny = os.environ.get("BENCH_TINY") == "1"
     batch = int(os.environ.get("BENCH_BATCH", "4"))
     steps = int(os.environ.get("BENCH_STEPS", "50"))
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    reps = int(os.environ.get("BENCH_REPS", "5"))
 
     cfg = PipelineConfig.tiny() if tiny else PipelineConfig.sd15_config3()
     size = 32 if tiny else 512
@@ -148,6 +148,11 @@ def main():
     chk = jax.device_get(run_jit(params, jax.random.PRNGKey(0)))
     print(f"bench: compile+first run {time.perf_counter()-t0:.1f}s (checksum {float(chk):.3f})",
           file=sys.stderr, flush=True)
+    # second warmup: on this backend the SECOND execution of a large executable pays a
+    # one-time ~240 s finalization cost; steady state starts at the THIRD call.
+    t0 = time.perf_counter()
+    jax.device_get(run_jit(params, jax.random.PRNGKey(997)))
+    print(f"bench: warmup-2 {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
 
     times = []
     for i in range(reps):
@@ -155,8 +160,10 @@ def main():
         chk = jax.device_get(run_jit(params, jax.random.PRNGKey(i + 1)))
         times.append(time.perf_counter() - t0)
     best = min(times)
+    median = sorted(times)[len(times) // 2]
     tiles_per_sec = batch / best
-    print(f"bench: times={['%.2f' % t for t in times]}s batch={batch} steps={steps}", file=sys.stderr, flush=True)
+    print(f"bench: times={['%.2f' % t for t in times]}s batch={batch} steps={steps} "
+          f"best {best:.2f}s median {median:.2f}s", file=sys.stderr, flush=True)
 
     print(
         json.dumps(
@@ -169,6 +176,9 @@ def main():
                 "value": round(tiles_per_sec, 4),
                 "unit": "tiles/sec/chip",
                 "vs_baseline": round(tiles_per_sec / 8.0, 4),
+                # tunnel-noise context (VERDICT r3 weak #6): median-of-reps alongside best
+                "median_value": round(batch / median, 4),
+                "rep_times_s": [round(t, 3) for t in times],
             }
         )
     )

@@ -109,6 +109,44 @@ def test_cli_train_resume(tmp_path, capsys):
     assert all(np.isfinite(v) for v in log["train_mse"])
 
 
+def test_save_filtered_retention(tmp_path):
+    """keep_last retention (ADVICE r3): older per-step filtered snapshots are deleted."""
+    cfg = PipelineConfig.tiny()
+    params = init_pipeline(jax.random.PRNGKey(0), cfg)
+    for step in (1, 2, 3, 4):
+        save_filtered(tmp_path, params, step, keep_last=2)
+    steps_left = sorted({int(p.name.split("_step")[1].split(".")[0])
+                         for p in tmp_path.glob("*_step*.npz")})
+    assert steps_left == [3, 4]
+    # keep_last=0 disables cleanup
+    save_filtered(tmp_path, params, 5, keep_last=0)
+    steps_left = sorted({int(p.name.split("_step")[1].split(".")[0])
+                         for p in tmp_path.glob("*_step*.npz")})
+    assert steps_left == [3, 4, 5]
+
+
+def test_cli_distill_resume(tmp_path, capsys):
+    """cmd_distill auto-resume (chip-chain idempotency): a second invocation over the same
+    --out picks up from the newest student snapshot instead of restarting at step 0."""
+    data_dir = tmp_path / "data"
+    cli_main(["make-data", "--out", str(data_dir), "--tiles", "2"])
+    out_dir = tmp_path / "distill"
+    base = [
+        "distill", "--preset", "tiny_smoke", "--data", str(data_dir / "pairs.jsonl"),
+        "--out", str(out_dir), "--mode", "consistency", "--size", "32", "--rank", "2",
+        "--teacher-steps", "4", "--save-every", "2", "--log-every", "2",
+    ]
+    cli_main(base + ["--steps", "4"])
+    assert (out_dir / "unet_lora_step4.npz").exists()
+    capsys.readouterr()
+    cli_main(base + ["--steps", "6"])
+    out = capsys.readouterr().out
+    assert "resumed from step 4" in out
+    assert (out_dir / "unet_lora_step6.npz").exists()
+    log = json.loads((out_dir / "loss_log.json").read_text())
+    assert log["step"] == list(range(1, 7))  # no duplicate rows from the resume
+
+
 def test_filtered_load_fp16_upcasts(tmp_path):
     """Committed interchange artifacts may be fp16 (half the repo cost); the overlay load
     must upcast to the template's compute dtype so downstream matmuls stay fp32."""

@@ -193,3 +193,45 @@ def test_losslog_roundtrip_and_resume(tmp_path):
     assert log3["step"] == [1, 2]
     # schema keys exactly match the reference (addlrSD.py:78-83)
     assert set(log3) == {"step", "train_mse", "ema", "val_step", "val_mse", "val_l1", "val_ssim"}
+
+
+def test_losslog_trim_on_resume():
+    """Resume dedup (VERDICT r3 #7): rows past the restored step are dropped so the re-run
+    steps don't duplicate (reference merge semantics, addlrSD.py:72-83)."""
+    from topomap_tpu.eval.losslog import trim_to_step
+
+    log = new_loss_log()
+    for s in range(1, 9):
+        append_train(log, s, 0.1 * s, 0.1 * s)
+    append_val(log, 4, 0.4, 0.14, 0.94)
+    append_val(log, 8, 0.8, 0.18, 0.98)
+    trim_to_step(log, 5)  # resumed from a step-5 checkpoint
+    assert log["step"] == [1, 2, 3, 4, 5]
+    assert log["val_step"] == [4]
+    assert log["val_mse"] == [0.4] and log["val_l1"] == [0.14] and log["val_ssim"] == [0.94]
+    # idempotent + no-op when nothing exceeds the step
+    trim_to_step(log, 5)
+    assert log["step"] == [1, 2, 3, 4, 5]
+
+
+def test_losslog_repair_polluted():
+    """repair_loss_log reconstructs a log written by pre-fix resumes (duplicate overlap)."""
+    from topomap_tpu.eval.losslog import repair_loss_log
+
+    log = new_loss_log()
+    for s in range(1, 7):  # first run reached step 6
+        append_train(log, s, 1.0 + s, 1.0 + s)
+    append_val(log, 2, 2.0)
+    append_val(log, 4, 4.0)
+    append_val(log, 6, 6.0)
+    for s in range(4, 9):  # resume from step-3 ckpt re-ran 4..8 and re-measured vals
+        append_train(log, s, 2.0 + s, 2.0 + s)
+    append_val(log, 4, 4.5)
+    append_val(log, 6, 6.5)
+    append_val(log, 8, 8.5)
+    fixed = repair_loss_log(log)
+    assert fixed["step"] == [1, 2, 3, 4, 5, 6, 7, 8]
+    # post-resume rows win where they overlap
+    assert fixed["train_mse"] == [2.0, 3.0, 4.0, 6.0, 7.0, 8.0, 9.0, 10.0]
+    assert fixed["val_step"] == [2, 4, 6, 8]
+    assert fixed["val_mse"] == [2.0, 4.5, 6.5, 8.5]

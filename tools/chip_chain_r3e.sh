@@ -3,7 +3,7 @@
 # committed VAE artifact name (vae_final_fp16.npz; the step3500 alias was lost with
 # the reset) and the dataset regenerated via `make-data --out data/synth_pa --tiles 32`.
 # Stages (serialized on the one chip):
-#   1. prompt-adherence phase 1 (eps-MSE warm, 6k steps, batch 2 + remat + scan 8)
+#   1. prompt-adherence phase 1 (eps-MSE warm, 6k steps, batch 2 + remat + scan 25)
 #   2. phase 2 (maskloss on, resume to 16k)
 #   3. image-level adherence eval (VERDICT r2 #1 artifact)
 #   4. approximation-ladder fidelity on the real ckpt (VERDICT #3)

@@ -95,7 +95,9 @@ def main():
         from topomap_tpu.models.unet_seg import SegUNetConfig, load_seg_weights, predict_classes
 
         scfg = SegUNetConfig()
-        seg_model = (jax.device_put(load_seg_weights(seg_w, scfg), dev), scfg)
+        # metric legs run on the host CPU backend: they are small eager ops, and per-op
+        # round trips through the remote tunnel dominate their wall time on the chip
+        seg_model = (jax.device_put(load_seg_weights(seg_w, scfg), cpu or dev), scfg)
         print(f"MIoU via trained seg U-Net {seg_w}", file=sys.stderr)
 
     # ---- test split, grouped by styled prompt --------------------------------------
@@ -121,11 +123,20 @@ def main():
             ds_cache[key] = (np.asarray(b["seg"]), np.asarray(b["gt"]))
         return ds_cache[key]
 
+    # ONE jitted sampling program at a FIXED batch (= per_prompt, short batches padded by
+    # repeating the last tile): eager sample_preview through the remote tunnel pays per-op
+    # round trips and a recompile per distinct batch size.
+    @jax.jit
+    def _sample(params, seg, ids, mask):
+        return sample_preview(params, cfg, sched, {"seg": seg, "ids": ids, "mask": mask},
+                              steps=steps, scale=scale, seed=seed)
+
     def run_batch(seg_np, prompt, n):
-        ids, mask = tok.encode([prompt] * n)
-        batch = {"seg": jnp.asarray(seg_np), "ids": jnp.asarray(ids), "mask": jnp.asarray(mask)}
-        img = sample_preview(params, cfg, sched, batch, steps=steps, scale=scale, seed=seed)
-        return np.asarray(from_signed(img))  # uint8 [n,H,W,3]
+        pad = per_prompt - n
+        seg_in = np.concatenate([seg_np, np.repeat(seg_np[-1:], pad, 0)]) if pad else seg_np
+        ids, mask = tok.encode([prompt] * per_prompt)
+        img = _sample(params, jnp.asarray(seg_in), jnp.asarray(ids), jnp.asarray(mask))
+        return np.asarray(from_signed(img))[:n]  # uint8 [n,H,W,3]
 
     def masked_color_mse(gen_u8, seg_np, prompt):
         """Mean squared 0-255 distance of generated pixels inside the prompt's class mask
@@ -156,15 +167,16 @@ def main():
         # full-image MSE vs the styled ground truth (quantitative_metrics mse_rgb, 0-255)
         gt_u8 = np.round((gt_np + 1.0) * 127.5)
         img_mse = float(((gen.astype(np.float32) - gt_u8) ** 2).mean())
-        # MIoU vs the seg hint's class mask
-        gt_mask = np.asarray(rgb_to_class_mask(jnp.asarray(np.round(seg_np * 255).astype(np.uint8))))
-        if seg_model is not None:
-            sp, scfg = seg_model
-            pred_mask = np.asarray(predict_classes(sp, scfg, jnp.asarray(gen, jnp.float32) / 255.0))
-        else:
-            pred_mask = np.asarray(rgb_to_class_mask(jnp.asarray(gen)))
-        miou = float(np.mean([float(mean_iou(jnp.asarray(pred_mask[i]), jnp.asarray(gt_mask[i])))
-                              for i in range(n)]))
+        # MIoU vs the seg hint's class mask (on the CPU backend — see seg_model note)
+        with (jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()):
+            gt_mask = np.asarray(rgb_to_class_mask(jnp.asarray(np.round(seg_np * 255).astype(np.uint8))))
+            if seg_model is not None:
+                sp, scfg = seg_model
+                pred_mask = np.asarray(predict_classes(sp, scfg, jnp.asarray(gen, jnp.float32) / 255.0))
+            else:
+                pred_mask = np.asarray(rgb_to_class_mask(jnp.asarray(gen)))
+            miou = float(np.mean([float(mean_iou(jnp.asarray(pred_mask[i]), jnp.asarray(gt_mask[i])))
+                                  for i in range(n)]))
         report["prompts"][p] = {
             "n_tiles": n, "mask_pixels": npix,
             "masked_color_mse_matched": mse_match,

@@ -31,6 +31,43 @@ def load_loss_log(path: str | Path) -> dict:
     return log
 
 
+def trim_to_step(log: dict, step: int) -> dict:
+    """Drop rows recorded past ``step`` — call after a checkpoint resume so the re-run
+    steps don't duplicate rows (the reference's ``_load_loss_log`` merge semantics,
+    ``addlrSD.py:72-83``; VERDICT r3 found the committed prompt_adherence log carried
+    8,000 train rows for a 6,000-step run). Mutates and returns ``log``."""
+    keep_t = sum(1 for s in log["step"] if s <= step)
+    for k in ("step", "train_mse", "ema"):
+        del log[k][keep_t:]
+    keep_v = sum(1 for s in log["val_step"] if s <= step)
+    for k in ("val_step", "val_mse", "val_l1", "val_ssim"):
+        del log[k][min(keep_v, len(log[k])):]
+    return log
+
+
+def repair_loss_log(log: dict) -> dict:
+    """Reconstruct a log polluted by pre-fix resumes: scan train rows in recorded order;
+    whenever the step counter goes backwards (a resume re-ran from an earlier step),
+    discard the earlier rows the resume superseded. Returns a new clean log."""
+    out = new_loss_log()
+    for i, s in enumerate(log["step"]):
+        while out["step"] and out["step"][-1] >= s:
+            trim_to_step(out, s - 1)
+        out["step"].append(s)
+        out["train_mse"].append(log["train_mse"][i])
+        out["ema"].append(log["ema"][i])
+    seen = {}
+    for i, s in enumerate(log["val_step"]):  # later duplicate wins (post-resume re-measure)
+        seen[s] = {k: (log[k][i] if i < len(log[k]) else None)
+                   for k in ("val_mse", "val_l1", "val_ssim")}
+    for s in sorted(seen):
+        out["val_step"].append(s)
+        for k in ("val_mse", "val_l1", "val_ssim"):
+            if seen[s][k] is not None:
+                out[k].append(seen[s][k])
+    return out
+
+
 def append_train(log: dict, step: int, train_mse: float, ema: float) -> None:
     log["step"].append(int(step))
     log["train_mse"].append(float(train_mse))

@@ -164,12 +164,28 @@ def _unflatten_into(tree: Params, flat: dict[str, np.ndarray]) -> Params:
 FILTERED_COLLECTIONS = ("adapter", "ctrl_lora", "unet_lora")
 
 
-def save_filtered(directory: str | Path, params: Params, step: int, labeler=None) -> list[Path]:
+def save_filtered(directory: str | Path, params: Params, step: int, labeler=None,
+                  keep_last: int = 3) -> list[Path]:
     """Write per-collection .npz subsets mirroring the reference's filtered torch.save set:
     textenc-adapter / ctrlora-ft (LoRA + zero_convs/middle_block_out/norm when a labeler is
-    given) / unet-lora (``addlrSD.py:533-543``)."""
+    given) / unet-lora (``addlrSD.py:533-543``).
+
+    ``keep_last``: retention matching the Orbax manager's max_to_keep — older per-step
+    snapshots beyond the newest N are deleted (each set is ~31 MB; unbounded growth was
+    ADVICE r3). ``keep_last=0`` disables cleanup."""
     directory = Path(directory)
     directory.mkdir(parents=True, exist_ok=True)
+    if keep_last:
+        import re
+
+        steps_seen = set()
+        for f in directory.glob("*_step*.npz"):
+            m = re.search(r"_step(\d+)\.npz$", f.name)
+            if m:
+                steps_seen.add(int(m.group(1)))
+        for old in sorted(s for s in steps_seen if s != step)[: -max(keep_last - 1, 0) or None]:
+            for f in directory.glob(f"*_step{old}.npz"):
+                f.unlink()
     written = []
     for coll in FILTERED_COLLECTIONS:
         if coll not in params or params[coll] is None:

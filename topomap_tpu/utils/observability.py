@@ -65,21 +65,22 @@ class ThroughputLog:
         self.path.parent.mkdir(parents=True, exist_ok=True)
 
     def write(self, step: int, timer: StepTimer, items_per_step: int,
-              steps_per_dispatch: int = 1) -> None:
+              steps_per_dispatch: int = 1, extra: dict | None = None) -> None:
         # timer counts dispatches; with lax.scan chunks one dispatch covers
         # steps_per_dispatch optimizer steps — record optimizer-steps/s, not chunks/s.
+        # "v": 2 marks records with these (post-fix) semantics; v1 rows logged the raw
+        # dispatch rate in steps_per_sec.
+        rec = {
+            "v": 2,
+            "step": step,
+            "time": time.time(),
+            "steps_per_sec": timer.steps_per_sec * steps_per_dispatch,
+            "tiles_per_sec": timer.items_per_sec(items_per_step),
+        }
+        if extra:
+            rec.update(extra)
         with open(self.path, "a") as f:
-            f.write(
-                json.dumps(
-                    {
-                        "step": step,
-                        "time": time.time(),
-                        "steps_per_sec": timer.steps_per_sec * steps_per_dispatch,
-                        "tiles_per_sec": timer.items_per_sec(items_per_step),
-                    }
-                )
-                + "\n"
-            )
+            f.write(json.dumps(rec) + "\n")
 
 
 def check_finite(tree: Any, name: str = "tree") -> None:
