@@ -66,23 +66,32 @@ def main():
     lowered = jax.jit(run).lower(params, jax.random.PRNGKey(0))
     compiled = lowered.compile()
     print(f"compile {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
-    flops = None
+    ca_flops = None
     try:
         ca = compiled.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        flops = float(ca.get("flops", 0.0)) or None
+        ca_flops = float(ca.get("flops", 0.0)) or None
     except Exception as e:  # cost model may be unavailable through the AOT service
         print(f"cost_analysis unavailable: {e}", file=sys.stderr)
-    if flops is None:
-        # Fallback: count from an independent CPU lowering of the same program (the
-        # FLOP count is shape-determined, not backend-determined).
-        cpu = jax.local_devices(backend="cpu")[0]
-        with jax.default_device(cpu):
-            ca = jax.jit(run).lower(jax.device_put(params, cpu),
-                                    jax.random.PRNGKey(0)).compile().cost_analysis()
-            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-            flops = float(ca["flops"])
-        print("flops from CPU lowering", file=sys.stderr)
+
+    # Primary numerator: analytic matmul+conv count over the traced jaxpr. The axon
+    # AOT service's cost_analysis reported 18.3 TFLOP for this program where the
+    # shape-determined count is ~413 TFLOP (22.6x undercount — it appears to miss
+    # convolutions), so the compiled number is reported for reference only. The count
+    # traces with XLA attention so attention matmuls appear as dot_general (the Pallas
+    # kernel computes the same matmuls inside a pallas_call the walker cannot see).
+    from topomap_tpu.models.attention import xla_attention
+
+    from flop_counter import count_fn_flops
+
+    def run_xla_attn(p, r):
+        img = sample(p, cfg, sched, ddim, r, seg, ctx, attn_fn=xla_attention,
+                     decode_dtype=jnp.bfloat16)
+        return jnp.sum(img.astype(jnp.float32))
+
+    flops = count_fn_flops(run_xla_attn, jax.eval_shape(lambda: params), jax.random.PRNGKey(0))
+    print(f"jaxpr analytic flops {flops/1e12:.1f} TFLOP; compiled cost_analysis "
+          f"{'n/a' if ca_flops is None else round(ca_flops/1e12, 1)} TFLOP", file=sys.stderr)
 
     # warm timing, bench.py protocol
     checksum = jax.device_get(compiled(params, jax.random.PRNGKey(0)))
@@ -121,6 +130,8 @@ def main():
         "base": provenance,
         "cfg_fork": ddim.cfg_fork,
         "flops_per_batch_tflop": round(flops / 1e12, 1),
+        "flops_source": "jaxpr matmul+conv analytic count (tools/flop_counter.py)",
+        "compiled_cost_analysis_tflop": None if ca_flops is None else round(ca_flops / 1e12, 1),
         "warm_s_per_batch": round(best, 3),
         "times_s": [round(t, 3) for t in times],
         "achieved_tflops": round(achieved, 1),
