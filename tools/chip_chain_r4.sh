@@ -52,11 +52,18 @@ stage mfu_accounting "$PA_RUN/mfu_accounting.json" '
   && mv $PA_RUN/mfu_accounting.json.tmp $PA_RUN/mfu_accounting.json'
 
 # 3. phase-2 maskloss training (resumes from the newest ckpt in $PA_RUN/ckpt; maskloss
-#    switches on past the preset's 6k warmup). Log appends across relaunches.
+#    switches on past the preset's 6k warmup). Log appends across relaunches. Batch 2
+#    first; on failure (the batch-2 maskloss step OOM'd pre-remat-decode at 18.85G)
+#    retry at the reference's own batch 1 (addlrSD.py:385).
 stage phase2_maskloss "$PA_RUN/ckpt/16000" '
   python -m topomap_tpu.cli.main train --preset prompt_adherence \
     --data $PA_TRAIN_DATA --out $PA_RUN \
     --vae-ckpt $VAE --steps 16000 --batch 2 --remat --scan-steps 8 \
+    --log-every 200 --prefetch 2 \
+    >> $PA_RUN/phase2.log 2>&1 \
+  || python -m topomap_tpu.cli.main train --preset prompt_adherence \
+    --data $PA_TRAIN_DATA --out $PA_RUN \
+    --vae-ckpt $VAE --steps 16000 --batch 1 --remat --scan-steps 8 \
     --log-every 200 --prefetch 2 \
     >> $PA_RUN/phase2.log 2>&1'
 

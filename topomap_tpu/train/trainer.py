@@ -99,12 +99,23 @@ def make_train_step(
                 return total, aux
             if use_maskloss:
                 x0 = predict_start_from_noise(sched, z_noisy, t, eps_hat)
+
                 # bf16 decode: the in-graph 512^2 decoder is the memory hot spot of the
                 # maskloss step (fp32 decode at batch 4 OOM'd 29.5G > 15.75G HBM); color
-                # targets are 8-bit so bf16 resolution is ample here.
-                img_pred = (decode_latent(params, cfg, x0, compute_dtype=jnp.bfloat16) + 1.0) * 0.5
-                gt01 = (batch["gt"] + 1.0) * 0.5
-                lc, ls = masked_color_losses(img_pred, gt01, batch["seg"], batch["class_rgb"])
+                # targets are 8-bit so bf16 resolution is ample here. The decode+loss is
+                # additionally rematerialized: without jax.checkpoint the decoder's
+                # activations (512^2x128 GroupNorm f32 upcasts) are held across the UNet
+                # backward and the batch-2 remat scan-8 compile still OOM'd 18.85G >
+                # 15.75G; checkpointing keeps them scoped to the decode's own grad
+                # segment.
+                @jax.checkpoint
+                def color_losses(vae_params, x0):
+                    img_pred = (decode_latent({"vae": vae_params}, cfg, x0,
+                                              compute_dtype=jnp.bfloat16) + 1.0) * 0.5
+                    gt01 = (batch["gt"] + 1.0) * 0.5
+                    return masked_color_losses(img_pred, gt01, batch["seg"], batch["class_rgb"])
+
+                lc, ls = color_losses(params["vae"], x0)
                 total = maskloss_total(mse, lc, ls, state.step, maskloss_warmup)
                 aux.update({"loss_color": lc, "loss_stable": ls})
                 return total, aux
