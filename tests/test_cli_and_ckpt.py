@@ -125,6 +125,47 @@ def test_save_filtered_retention(tmp_path):
     assert steps_left == [3, 4, 5]
 
 
+def test_restore_from_filtered_disaster_recovery(tmp_path):
+    """Container resets wipe the (uncommitted) Orbax dir but keep the committed filtered
+    npz: restore_from_filtered must rebuild the full trainable state — including the
+    labeler-filtered controlnet ctrl_ft subset — and set state.step."""
+    from topomap_tpu.utils.checkpoint import restore_from_filtered
+
+    cfg = PipelineConfig.tiny()
+    trained = init_pipeline(jax.random.PRNGKey(0), cfg)
+    save_filtered(tmp_path, trained, 40, labeler=config2_labeler)
+    save_filtered(tmp_path, trained, 50, labeler=config2_labeler)
+
+    fresh = init_pipeline(jax.random.PRNGKey(9), cfg)
+    tx, part = build_optimizer(fresh, get_preset("tiny_smoke").optim)
+    state = init_train_state(fresh, tx, part)
+    state, step = restore_from_filtered(tmp_path, state)
+    assert step == 50 and int(state.step) == 50
+    # every saved trainable collection matches the trained tree
+    for coll in ("adapter", "ctrl_lora", "unet_lora"):
+        for a, b in zip(jax.tree.leaves(state.params[coll]), jax.tree.leaves(trained[coll])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # ctrl_ft subset overlaid onto the controlnet collection
+    cn_flat = dict(np.load(tmp_path / "controlnet_ft_step50.npz"))
+    assert cn_flat
+    got = {k: v for k, v in _flatten_tree(state.params["controlnet"]).items() if k in cn_flat}
+    for k in cn_flat:
+        np.testing.assert_array_equal(got[k], cn_flat[k])
+    # frozen base stays the fresh init (only trainables restored)
+    a0 = jax.tree.leaves(state.params["unet"])[0]
+    b0 = jax.tree.leaves(fresh["unet"])[0]
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(b0))
+    # empty dir: untouched
+    _, step0 = restore_from_filtered(tmp_path / "none", state)
+    assert step0 == 0
+
+
+def _flatten_tree(tree, prefix=""):
+    from topomap_tpu.utils.checkpoint import _flatten
+
+    return _flatten(tree)
+
+
 def test_cli_distill_resume(tmp_path, capsys):
     """cmd_distill auto-resume (chip-chain idempotency): a second invocation over the same
     --out picks up from the newest student snapshot instead of restarting at step 0."""

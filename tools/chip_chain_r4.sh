@@ -25,7 +25,10 @@ export PA_RUN=runs/prompt_adherence
 
 stage() { # stage NAME ARTIFACT CMD-STRING   (CMD runs under bash -c; skipped if ARTIFACT exists)
   local name=$1 artifact=$2 cmd=$3
-  if [ -e "$artifact" ]; then
+  # A container reset can leave a 0-byte husk where an artifact was mid-write: treat
+  # empty files as absent (and remove them so `>>` log appends start clean).
+  if [ -f "$artifact" ] && [ ! -s "$artifact" ]; then rm -f "$artifact"; fi
+  if [ -s "$artifact" ] || [ -d "$artifact" ]; then
     echo "=== $name: SKIP (artifact $artifact exists) $(date -u +%H:%M:%S)"
     return 0
   fi
@@ -37,6 +40,18 @@ stage() { # stage NAME ARTIFACT CMD-STRING   (CMD runs under bash -c; skipped if
 }
 
 mkdir -p "$PA_RUN/eval_phase1" "$PA_RUN/eval_phase2" runs/distill_pa
+
+# 0. datasets — untracked, wiped by container resets; regeneration is seed-deterministic
+#    (generate_pair(seed + i): synth_pa = tile seeds 0..31, so its held-out eval split
+#    reproduces bit-identically across relaunches). synth_pa2 uses seed 1000 so its 128
+#    training tiles are DISJOINT from the eval set's seed range (no test leakage).
+stage make_data_pa data/synth_pa/pairs.jsonl '
+  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu timeout 3600 \
+    python -m topomap_tpu.cli.main make-data --out data/synth_pa --tiles 32 --seed 0'
+
+stage make_data_pa2 data/synth_pa2/pairs.jsonl '
+  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu timeout 7200 \
+    python -m topomap_tpu.cli.main make-data --out data/synth_pa2 --tiles 128 --seed 1000'
 
 # 1. image-level adherence proof on the checkpoint we already have (phase-1, step 5000)
 stage adherence_eval_p1 "$PA_RUN/eval_phase1/adherence_report.json" '

@@ -183,6 +183,18 @@ def cmd_train(args):
     del params
     if start_step:
         print(f"resumed from step {start_step}")
+    else:
+        # Orbax dir lost (container reset wipes uncommitted runs/*/ckpt) but the small
+        # committed per-collection filtered npz survive: warm-resume the trainable
+        # collections from the newest filtered step. Optimizer moments restart fresh —
+        # the reference's own resume does no better (hand-edited global_step over
+        # re-loaded filtered state dicts, ``maskloss.py:371-373,531``).
+        from topomap_tpu.utils.checkpoint import restore_from_filtered
+
+        state, start_step = restore_from_filtered(out / "filtered", state)
+        if start_step:
+            print(f"resumed from filtered npz at step {start_step} "
+                  f"(orbax state lost; fresh optimizer moments)")
 
     lpips_params = None
     if preset.use_lpips:
@@ -337,7 +349,13 @@ def cmd_train(args):
             save_loss_curve(log, out / "loss_curve.png")
             # async: serialization overlaps the next training steps
             save_train_state(out / "ckpt", state, step, wait=False)
-            save_filtered(out / "filtered", state.params, step)
+            # Pass the labeler so the ctrl_ft subset (controlnet zero_convs/
+            # middle_block_out/norm — trained under config2/3) lands in the filtered
+            # set too: restore_from_filtered then recovers the FULL trainable state.
+            from topomap_tpu.train.optim import LABELERS
+
+            save_filtered(out / "filtered", state.params, step,
+                          labeler=LABELERS.get(preset.optim.config_name))
             buckets["val_ckpt_s"] += time.perf_counter() - tv0
     save_loss_log(log, out / "loss_log.json")
     from topomap_tpu.utils.checkpoint import wait_for_checkpoints

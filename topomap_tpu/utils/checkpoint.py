@@ -210,6 +210,40 @@ def save_filtered(directory: str | Path, params: Params, step: int, labeler=None
     return written
 
 
+def restore_from_filtered(directory: str | Path, state):
+    """Disaster-recovery resume: overlay the newest filtered npz set onto a fresh
+    TrainState when the Orbax directory is gone (container resets wipe uncommitted
+    ``runs/*/ckpt`` while the small filtered npz are committed). Restores every
+    trainable collection present on disk — ``adapter``/``ctrl_lora``/``unet_lora``
+    plus the labeler-filtered ``controlnet_ft`` subset — and sets ``state.step``.
+    Optimizer moments are NOT recovered (they are only in the Orbax state); returns
+    ``(state, 0)`` untouched when the directory holds no snapshots."""
+    import dataclasses
+    import re
+
+    import jax.numpy as jnp
+
+    directory = Path(directory)
+    steps = set()
+    for f in directory.glob("*_step*.npz"):
+        m = re.search(r"_step(\d+)\.npz$", f.name)
+        if m and f.stat().st_size:
+            steps.add(int(m.group(1)))
+    if not steps:
+        return state, 0
+    step = max(steps)
+    params = state.params
+    for coll in FILTERED_COLLECTIONS:
+        path = directory / f"{coll}_step{step}.npz"
+        if path.exists() and path.stat().st_size and params.get(coll) is not None:
+            params = load_filtered(params, path, coll)
+    cn_path = directory / f"controlnet_ft_step{step}.npz"
+    if cn_path.exists() and cn_path.stat().st_size and "controlnet" in params:
+        params = load_filtered(params, cn_path, "controlnet")
+    state = dataclasses.replace(state, params=params, step=jnp.asarray(step, jnp.int32))
+    return state, step
+
+
 def load_filtered(params: Params, path: str | Path, collection: str) -> Params:
     """Overlay a filtered .npz onto one collection (the reference's overlay-load,
     ``quantitative_metrics.py:44-55``)."""
