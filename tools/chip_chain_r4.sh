@@ -19,8 +19,10 @@ export VAE=runs/vae_pretrain/vae_final_fp16.npz
 # use the 10x regenerated set when present (VERDICT r3 weak #4: 260 train tiles is
 # under-powered; synthetic data is cheap).
 export PA_DATA=data/synth_pa/pairs.jsonl
+# Always the regenerated 10x set: the make_data_pa2 stage below guarantees it exists
+# before any consumer runs (an existence fallback here resolved BEFORE the stages ran
+# and silently downgraded phase 2 to the 320-pair set).
 export PA_TRAIN_DATA=data/synth_pa2/pairs.jsonl
-[ -e "$PA_TRAIN_DATA" ] || export PA_TRAIN_DATA=$PA_DATA
 export PA_RUN=runs/prompt_adherence
 
 stage() { # stage NAME ARTIFACT CMD-STRING   (CMD runs under bash -c; skipped if ARTIFACT exists)
