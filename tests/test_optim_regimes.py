@@ -149,3 +149,37 @@ def test_step_timer_and_inspect_tools():
     changed = jax.tree.map(lambda x: x + 1, params["vae"])
     with pytest.raises(AssertionError):
         assert_frozen(params["vae"], changed, "vae")
+
+
+def test_throughput_report_intervals(tmp_path):
+    """tools/throughput_report.py: steady-state rate + phase shares from v2 bucket rows;
+    relaunch intervals (counter resets, huge untracked time) must not pollute them."""
+    import json
+    import sys
+
+    sys.path.insert(0, "tools")
+    try:
+        from throughput_report import intervals, report
+    finally:
+        sys.path.pop(0)
+
+    def row(step, t, dw, dp, vc):
+        return {"v": 2, "step": step, "time": t, "steps_per_sec": 1.0,
+                "tiles_per_sec": 2.0, "data_wait_s": dw, "dispatch_s": dp, "val_ckpt_s": vc}
+
+    rows = [
+        row(200, 100.0, 1.0, 8.0, 0.0),
+        row(400, 200.0, 11.0, 88.0, 0.0),     # steady: 2 steps/s, 88% dispatch
+        row(600, 1000.0, 12.0, 98.0, 10.0),   # relaunch gap: 780 s untracked -> excluded
+        row(800, 1100.0, 22.0, 188.0, 10.0),  # steady again
+        row(1000, 1150.0, 2.0, 3.0, 0.0),     # counters reset (relaunch) -> dropped
+    ]
+    ivs = intervals(rows)
+    assert len(ivs) == 3  # the counter-reset pair is dropped entirely
+    p = tmp_path / "throughput.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    rep = report(tmp_path)
+    assert rep["steady_intervals"] == 2
+    assert abs(rep["steady_steps_per_sec_median"] - 2.0) < 1e-6
+    assert abs(rep["share"]["dispatch_s"] - (80 + 90) / 200) < 1e-6
+    assert rep["dispatch_only_steps_per_sec"] is not None
