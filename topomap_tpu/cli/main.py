@@ -332,12 +332,16 @@ def cmd_train(args):
             vb = to_device_batch(vb_host)
             val_mse = float(val_fn(state.params, vb))
             val_l1 = val_ssim = None
+            buckets["val_eval_s"] = buckets.get("val_eval_s", 0.0) + time.perf_counter() - tv0
             if preview_fn is not None:
+                tp0 = time.perf_counter()
                 # cap the preview at 2 tiles: CFG doubles the sampling batch, and this
                 # runs with the training state (params + opt moments) still resident
                 vp = jax.tree.map(lambda x: x[:2], vb)
                 img, l1v, ssimv = preview_fn(state.params, vp)
                 val_l1, val_ssim = float(l1v), float(ssimv)
+                buckets["val_preview_s"] = (buckets.get("val_preview_s", 0.0)
+                                            + time.perf_counter() - tp0)
                 save_concept_grid(out / f"preview_step{step}.png",
                                   np.asarray(vp["seg_u8"]), np.asarray(img),
                                   np.asarray(vp["gt_u8"]),
@@ -347,8 +351,16 @@ def cmd_train(args):
                   (f" val_l1 {val_l1:.4f} val_ssim {val_ssim:.4f}" if val_l1 is not None else ""))
             save_loss_log(log, out / "loss_log.json")
             save_loss_curve(log, out / "loss_curve.png")
-            # async: serialization overlaps the next training steps
-            save_train_state(out / "ckpt", state, step, wait=False)
+            ts0 = time.perf_counter()
+            # Full-state Orbax saves pull params + opt moments (GBs) device->host — on
+            # the remote-tunnel backend that is minutes per save even with wait=False
+            # (the gather itself is synchronous; phase-2 bucket data: 200-500 s per val).
+            # --full-ckpt-every throttles them; the ~31 MB filtered npz (enough for
+            # restore_from_filtered disaster recovery) still writes every val.
+            full_every = getattr(args, "full_ckpt_every", 0) or preset.val_every
+            if step % full_every == 0 or step >= steps:
+                # async: serialization overlaps the next training steps
+                save_train_state(out / "ckpt", state, step, wait=False)
             # Pass the labeler so the ctrl_ft subset (controlnet zero_convs/
             # middle_block_out/norm — trained under config2/3) lands in the filtered
             # set too: restore_from_filtered then recovers the FULL trainable state.
@@ -356,6 +368,7 @@ def cmd_train(args):
 
             save_filtered(out / "filtered", state.params, step,
                           labeler=LABELERS.get(preset.optim.config_name))
+            buckets["val_save_s"] = buckets.get("val_save_s", 0.0) + time.perf_counter() - ts0
             buckets["val_ckpt_s"] += time.perf_counter() - tv0
     save_loss_log(log, out / "loss_log.json")
     from topomap_tpu.utils.checkpoint import wait_for_checkpoints
@@ -1046,6 +1059,9 @@ def build_parser():
     sp.add_argument("--remat", action="store_true", help="rematerialize UNet blocks (memory)")
     sp.add_argument("--scan-steps", type=int, default=1,
                     help="train steps fused per dispatch (lax.scan); amortizes dispatch overhead")
+    sp.add_argument("--full-ckpt-every", type=int, default=0,
+                    help="full Orbax TrainState save cadence in steps (0 = every val); "
+                         "filtered npz still save every val")
     sp.add_argument("--prefetch", type=int, default=2,
                     help="host->device input double-buffering depth (0 = synchronous)")
     sp.add_argument("--batch", type=int, default=None,
