@@ -162,10 +162,17 @@ def cmd_train(args):
     from topomap_tpu.utils.checkpoint import restore_latest, save_filtered, save_train_state
 
     preset, cfg, sched, params, tok, _ = _setup(args)
-    if getattr(args, "batch", None):
-        import dataclasses
+    import dataclasses
 
+    if getattr(args, "batch", None):
         preset = dataclasses.replace(preset, batch_size=args.batch)
+    if getattr(args, "maskloss_warmup", None) is not None:
+        # Overfit-lab runs compress the schedule: switch the masked color loss on
+        # earlier than the preset's production warmup (reference overfit protocol,
+        # SURVEY §2.7 / Training_sdfusion_* gen_test on train tiles).
+        preset = dataclasses.replace(preset, maskloss_warmup=args.maskloss_warmup)
+    if getattr(args, "val_every", None):
+        preset = dataclasses.replace(preset, val_every=args.val_every)
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
 
@@ -1062,6 +1069,10 @@ def build_parser():
     sp.add_argument("--full-ckpt-every", type=int, default=0,
                     help="full Orbax TrainState save cadence in steps (0 = every val); "
                          "filtered npz still save every val")
+    sp.add_argument("--maskloss-warmup", type=int, default=None,
+                    help="override the preset's maskloss warmup step (overfit-lab runs)")
+    sp.add_argument("--val-every", type=int, default=None,
+                    help="override the preset's validation cadence")
     sp.add_argument("--prefetch", type=int, default=2,
                     help="host->device input double-buffering depth (0 = synchronous)")
     sp.add_argument("--batch", type=int, default=None,
