@@ -181,3 +181,28 @@ def _params_static():
             init_pipeline(jax.random.PRNGKey(0), CFG), jax.random.PRNGKey(1)
         )
     return _PARAMS_CACHE["p"]
+
+
+def test_cfg_prompt_dropout_rowwise():
+    """drop_context: p=0 identity (no graph change); p=1 all-zero (the uncond
+    embedding); fractional p drops whole rows only — a sample's context is either
+    intact or fully zeroed, never partially."""
+    from topomap_tpu.train.trainer import drop_context
+
+    rng = jax.random.PRNGKey(0)
+    c = jnp.asarray(np.random.default_rng(0).normal(size=(8, 7, 5)).astype(np.float32))
+    assert drop_context(rng, c, 0.0) is c
+    np.testing.assert_array_equal(np.asarray(drop_context(rng, c, 1.0)), np.zeros_like(c))
+    out = np.asarray(drop_context(rng, c, 0.5))
+    row_zero = (out == 0).all(axis=(1, 2))
+    row_keep = (out == np.asarray(c)).all(axis=(1, 2))
+    assert (row_zero | row_keep).all()
+    assert row_zero.any() and row_keep.any()  # p=0.5 over 8 rows: both outcomes seen
+
+
+def test_prompt_adherence_text_preset():
+    from topomap_tpu.configs.presets import get_preset
+
+    p = get_preset("prompt_adherence_text")
+    assert p.cfg_dropout == 0.1 and p.use_maskloss
+    assert p.optim.lr_overrides["adapter"] == 2e-4

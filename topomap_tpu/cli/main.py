@@ -210,7 +210,8 @@ def cmd_train(args):
         lpips_params = lpips_init(jax.random.PRNGKey(preset.seed + 2))
     step_raw = make_train_step(cfg, sched, tx, part, preset.optim.config_name, preset.use_maskloss,
                                preset.maskloss_warmup, use_lpips=preset.use_lpips,
-                               lpips_params=lpips_params, remat=getattr(args, "remat", False))
+                               lpips_params=lpips_params, remat=getattr(args, "remat", False),
+                               cfg_dropout=preset.cfg_dropout)
     step_fn = jax.jit(lambda s, b, r: step_raw(s, dequant(b), r))
     val_raw = make_validate_step(cfg, sched)
     val_fn = jax.jit(lambda p, b: val_raw(p, dequant(b)))

@@ -33,6 +33,7 @@ class ExperimentPreset:
     maskloss_palette: str = "reference"  # seg palette for mask extraction (see prompt_class_rgb)
     use_lpips: bool = False
     repeat_dataset: int = 1  # overfit regimes repeat items
+    cfg_dropout: float = 0.0  # CFG prompt-dropout prob (zero-context uncond training)
     description: str = ""
 
 
@@ -159,6 +160,28 @@ def prompt_adherence_warm() -> ExperimentPreset:
     )
 
 
+def prompt_adherence_text() -> ExperimentPreset:
+    """Round-5 text-pathway lever over ``prompt_adherence``: both round-4 adherence
+    evals (full-scale phase 2 and the prompt-as-only-disambiguator overfit lab) came
+    out null — the from-scratch model minimizes loss by predicting the per-tile mean
+    over prompts, i.e. the text pathway is the under-optimized link. This preset
+    (a) trains the uncond branch with 10% CFG prompt dropout (the reference inherits
+    its uncond behavior from pretrained SD1.5, ours must learn it), and (b) boosts the
+    text-carrying groups' LRs 4x (adapter, UNet cross-attn LoRA) so prompt-dependent
+    directions move at the same speed the conv trunk did in phase 2."""
+    base = prompt_adherence()
+    return dataclasses.replace(
+        base,
+        name="prompt_adherence_text",
+        optim=dataclasses.replace(
+            base.optim,
+            lr_overrides={"adapter": 2e-4, "unet_lora": 2e-4, "ctrl_lora": 5e-5},
+        ),
+        cfg_dropout=0.1,
+        description="prompt-adherence + CFG prompt dropout + 4x text-pathway LRs",
+    )
+
+
 def adapter_only_overfit() -> ExperimentPreset:
     """experiment_overfit adapter(+kv LoRA) regime (``Training_sdfusion_bert_adapter_sample*``)."""
     return ExperimentPreset(
@@ -221,6 +244,7 @@ PRESETS = {
         config3_maskloss,
         prompt_adherence,
         prompt_adherence_warm,
+        prompt_adherence_text,
         adapter_only_overfit,
         lpips_expanded,
         tiny_smoke,

@@ -41,6 +41,16 @@ class TrainState:
     step: jnp.ndarray  # scalar int32
 
 
+def drop_context(rng, c: jnp.ndarray, p: float) -> jnp.ndarray:
+    """Row-wise CFG prompt dropout: each batch element's [T,D] context is replaced by
+    zeros (the uncond embedding) with probability ``p``. ``p == 0`` is the identity and
+    adds nothing to the graph."""
+    if p <= 0.0:
+        return c
+    drop = jax.random.bernoulli(rng, p, (c.shape[0],))
+    return jnp.where(drop[:, None, None], jnp.zeros_like(c), c)
+
+
 def make_train_step(
     cfg: PipelineConfig,
     sched: DiffusionSchedule,
@@ -54,6 +64,7 @@ def make_train_step(
     lpips_params=None,
     lpips_weights: tuple[float, float] = (0.3, 0.7),
     remat: bool = False,
+    cfg_dropout: float = 0.0,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -69,7 +80,8 @@ def make_train_step(
     attn_fn = attn_fn or best_attention_fn()
 
     def train_step(state: TrainState, batch, rng):
-        rng_vae, rng_t, rng_noise = jax.random.split(jax.random.fold_in(rng, state.step), 3)
+        rng_vae, rng_t, rng_noise, rng_drop = jax.random.split(
+            jax.random.fold_in(rng, state.step), 4)
 
         def loss_fn(train_leaves):
             # Only the trainable partition is differentiated/updated — grads, optimizer
@@ -85,6 +97,14 @@ def make_train_step(
             noise = jax.random.normal(rng_noise, z.shape)
             z_noisy = q_sample(sched, z, t, noise)
             c = encode_text(params, cfg, batch["ids"], batch["mask"])
+            # Classifier-free-guidance prompt dropout: with prob cfg_dropout a sample's
+            # context becomes the zero tensor — the SAME uncond embedding every sampler
+            # here uses for CFG (and that the zero-ctx shortcut exploits). The reference
+            # inherits a trained uncond branch from pretrained SD1.5; a from-scratch
+            # base must train it explicitly or guidance amplifies an arbitrary
+            # never-trained direction. Also sharpens conditioning: the model must
+            # separate "prompted" from "unprompted" predictions.
+            c = drop_context(rng_drop, c, cfg_dropout)
             cond = {"crossattn": c, "concat": batch["seg"]}
             eps_hat = apply_model(params, cfg, z_noisy, t, cond, attn_fn=attn_fn, remat=remat)
             mse = eps_mse(eps_hat, noise)
