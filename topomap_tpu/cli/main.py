@@ -54,6 +54,17 @@ def _setup(args):
             params, report = load_sd_checkpoint(params, cfg, sd)
             print(f"loaded base ckpt: {report['loaded']} tensors, "
                   f"{len(report['missing'])} missing, {len(report['unexpected'])} unexpected")
+        elif getattr(args, "base_npz", None):
+            from topomap_tpu.utils.checkpoint import load_base_npz
+
+            params = load_base_npz(params, args.base_npz)
+            print(f"overlaid pretrained base trunk from {args.base_npz}")
+        elif preset.optim.config_name == "full":
+            # Full-trunk pretraining trains from RAW init: zero_module semantics are the
+            # point (silent ControlNet injection + zero ε-output at step 0, the LDM
+            # from-scratch contract) — simulate_pretrained exists only so that
+            # LoRA-only configs get nonzero gradients through an untrained trunk.
+            print("full-trunk preset: raw from-scratch init (zero_module semantics)")
         else:
             params = simulate_pretrained(params, jax.random.PRNGKey(preset.seed + 1))
             print("no --base-ckpt: using simulated-pretrained base (random weights)")
@@ -184,24 +195,47 @@ def cmd_train(args):
 
     tx, part = build_optimizer(params, preset.optim)
     state = init_train_state(params, tx, part)
-    # Restore to host and drop the on-device template (``params`` aliases
-    # state.params): keeps resume at fresh-run HBM levels — see restore_latest.
-    state, start_step = restore_latest(out / "ckpt", state, to_host=True)
-    del params
-    if start_step:
-        print(f"resumed from step {start_step}")
-    else:
-        # Orbax dir lost (container reset wipes uncommitted runs/*/ckpt) but the small
-        # committed per-collection filtered npz survive: warm-resume the trainable
-        # collections from the newest filtered step. Optimizer moments restart fresh —
-        # the reference's own resume does no better (hand-edited global_step over
-        # re-loaded filtered state dicts, ``maskloss.py:371-373,531``).
-        from topomap_tpu.utils.checkpoint import restore_from_filtered
+    # Full-trunk pretraining runs snapshot the whole trained base as one fp16 npz (the
+    # Swisstopo.ckpt-equivalent artifact) instead of the per-collection filtered set.
+    is_full = preset.optim.config_name == "full"
+    snap_dir = out / ("base" if is_full else "filtered")
+    from topomap_tpu.utils.checkpoint import (
+        _mgr,
+        latest_filtered_step,
+        restore_from_base_npz,
+        restore_from_filtered,
+    )
 
-        state, start_step = restore_from_filtered(out / "filtered", state)
-        if start_step:
-            print(f"resumed from filtered npz at step {start_step} "
-                  f"(orbax state lost; fresh optimizer moments)")
+    restore_snap = restore_from_base_npz if is_full else restore_from_filtered
+    start_step = 0
+    if getattr(args, "fresh", False):
+        print("--fresh: ignoring any existing checkpoints in the out dir")
+    else:
+        orbax_step = _mgr(out / "ckpt").latest_step() or 0
+        if latest_filtered_step(snap_dir) > orbax_step:
+            # With full Orbax saves throttled, a surviving-but-stale Orbax dir can shadow
+            # newer committed npz snapshots (ADVICE r4): prefer the newer state. Frozen
+            # collections never move, so the fresh-init template is exact for them;
+            # optimizer moments restart fresh — the reference's own resume does no better
+            # (hand-edited global_step over re-loaded filtered dicts, ``maskloss.py:371``).
+            state, start_step = restore_snap(snap_dir, state)
+            if start_step:
+                print(f"resumed from npz snapshot at step {start_step} "
+                      f"(newer than orbax step {orbax_step}; fresh optimizer moments)")
+        else:
+            # Restore to host and drop the on-device template (``params`` aliases
+            # state.params): keeps resume at fresh-run HBM levels — see restore_latest.
+            state, start_step = restore_latest(out / "ckpt", state, to_host=True)
+            if start_step:
+                print(f"resumed from step {start_step}")
+            else:
+                # Orbax dir lost (container resets wipe uncommitted runs/*/ckpt) while
+                # the committed npz snapshots survive: warm-resume from the newest one.
+                state, start_step = restore_snap(snap_dir, state)
+                if start_step:
+                    print(f"resumed from npz snapshot at step {start_step} "
+                          f"(orbax state lost; fresh optimizer moments)")
+    del params
 
     lpips_params = None
     if preset.use_lpips:
@@ -321,6 +355,7 @@ def cmd_train(args):
         buckets["dispatch_s"] += t2 - t1
         return state, losses
 
+    last_full_save = start_step
     while int(state.step) < steps:
         with timer:
             state, losses = run_chunk(state)
@@ -365,17 +400,31 @@ def cmd_train(args):
             # (the gather itself is synchronous; phase-2 bucket data: 200-500 s per val).
             # --full-ckpt-every throttles them; the ~31 MB filtered npz (enough for
             # restore_from_filtered disaster recovery) still writes every val.
+            # Cadence tracks the last actual save, not step divisibility, so values that
+            # aren't multiples of val_every still fire on schedule (ADVICE r4).
             full_every = getattr(args, "full_ckpt_every", 0) or preset.val_every
-            if step % full_every == 0 or step >= steps:
-                # async: serialization overlaps the next training steps
-                save_train_state(out / "ckpt", state, step, wait=False)
-            # Pass the labeler so the ctrl_ft subset (controlnet zero_convs/
-            # middle_block_out/norm — trained under config2/3) lands in the filtered
-            # set too: restore_from_filtered then recovers the FULL trainable state.
-            from topomap_tpu.train.optim import LABELERS
+            if step - last_full_save >= full_every or step >= steps:
+                last_full_save = step
+                if is_full:
+                    # Base runs: the fp16 base npz IS the artifact (and the resume
+                    # source); the Orbax full state (another 6+ GB gather through the
+                    # tunnel for fresh-restartable adafactor factors) only at the end.
+                    from topomap_tpu.utils.checkpoint import save_base_npz
 
-            save_filtered(out / "filtered", state.params, step,
-                          labeler=LABELERS.get(preset.optim.config_name))
+                    save_base_npz(out / "base", state.params, step)
+                    if step >= steps:
+                        save_train_state(out / "ckpt", state, step, wait=False)
+                else:
+                    # async: serialization overlaps the next training steps
+                    save_train_state(out / "ckpt", state, step, wait=False)
+            if not is_full:
+                # Pass the labeler so the ctrl_ft subset (controlnet zero_convs/
+                # middle_block_out/norm — trained under config2/3) lands in the filtered
+                # set too: restore_from_filtered then recovers the FULL trainable state.
+                from topomap_tpu.train.optim import LABELERS
+
+                save_filtered(out / "filtered", state.params, step,
+                              labeler=LABELERS.get(preset.optim.config_name))
             buckets["val_save_s"] = buckets.get("val_save_s", 0.0) + time.perf_counter() - ts0
             buckets["val_ckpt_s"] += time.perf_counter() - tv0
     save_loss_log(log, out / "loss_log.json")
@@ -1047,6 +1096,9 @@ def build_parser():
     def common(sp, ckpt=True):
         sp.add_argument("--preset", default="config3_addlrSD")
         sp.add_argument("--base-ckpt", default=None, help="LDM .ckpt/.safetensors base weights")
+        sp.add_argument("--base-npz", default=None,
+                        help="pretrained base trunk overlay (save_base_npz artifact from a "
+                             "base_pretrain run) — the repo's Swisstopo.ckpt equivalent")
         sp.add_argument("--size", type=int, default=512)
         sp.add_argument("--ddim-steps", type=int, default=12)
         sp.add_argument("--scale", type=float, default=7.5)
@@ -1081,6 +1133,8 @@ def build_parser():
                          "utilization favors >=4)")
     sp.add_argument("--no-image-val", action="store_true",
                     help="skip sampled-image validation (DDIM preview + L1/SSIM + concept grid)")
+    sp.add_argument("--fresh", action="store_true",
+                    help="start from scratch even if the out dir holds resumable state")
     sp.add_argument("--image-val-steps", type=int, default=12,
                     help="DDIM steps for the validation preview (addlrSD.py:518 uses 12)")
     sp.set_defaults(fn=cmd_train)

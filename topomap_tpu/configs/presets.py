@@ -182,6 +182,70 @@ def prompt_adherence_text() -> ExperimentPreset:
     )
 
 
+def base_pretrain() -> ExperimentPreset:
+    """Trunk pretraining — the repo's equivalent of the reference's pretrained
+    ``Swisstopo.ckpt`` (loaded by every reference script, ``addlrSD.py:288-291``; no such
+    weights exist in this environment, so a self-contained run must create them).
+    Trains the FULL UNet + ControlNet + text adapter from raw init (``full`` labeler,
+    adafactor — see OptimConfig.optimizer) with pure ε-MSE on the synthetic styled suite,
+    10% CFG prompt dropout so the uncond branch used by every CFG sampler is trained from
+    the start. VAE comes from ``pretrain-vae`` via ``--vae-ckpt``; BERT/CLIP stay frozen
+    (the text signal flows through the trainable adapter, reference regime)."""
+    return ExperimentPreset(
+        name="base_pretrain",
+        pipeline=PipelineConfig.sd15_config3(),
+        optim=OptimConfig(
+            config_name="full", optimizer="adafactor", total_steps=40_000, warmup=2_000
+        ),
+        steps=40_000,
+        batch_size=1,
+        val_every=1_000,
+        cfg_dropout=0.1,
+        description="from-scratch full-trunk pretrain (synthetic Swisstopo base)",
+    )
+
+
+def base_overfit() -> ExperimentPreset:
+    """Cheap validation gate for the trunk-pretraining pipeline: 2 tiles, full-trunk
+    training, compressed schedule. A structurally-sound pipeline must near-memorize the
+    tiles — the sampled previews must visibly reproduce the seg hint's polygons — within
+    a few k steps (the reference's own overfit laboratory works this way BECAUSE of its
+    pretrained base, ``experiment_overfit/One_seg_diff_prpts.py``; this gate proves ours
+    can get there from scratch before full-scale chip-hours are spent)."""
+    base = base_pretrain()
+    return dataclasses.replace(
+        base,
+        name="base_overfit",
+        optim=dataclasses.replace(
+            base.optim, total_steps=8_000, warmup=300,
+            # 3x the production LR: 2 tiles ⇒ near-zero gradient noise, memorization
+            # speed is the goal (the gate has a fixed chip-time budget)
+            lr_overrides={"unet": 3e-4, "controlnet": 3e-4, "adapter": 3e-4},
+        ),
+        steps=8_000,
+        val_every=500,
+        description="2-tile full-trunk overfit gate for base pretraining",
+    )
+
+
+def tiny_base() -> ExperimentPreset:
+    """CI-size full-trunk preset: exercises the ``full`` labeler + adafactor path and the
+    image-level overfit contract (sampled tiles must approach the target) on the CPU mesh."""
+    return ExperimentPreset(
+        name="tiny_base",
+        pipeline=PipelineConfig.tiny(),
+        optim=OptimConfig(
+            config_name="full", optimizer="adafactor", total_steps=400, warmup=20,
+        ),
+        steps=400,
+        batch_size=2,
+        val_every=200,
+        ddim_steps=8,
+        cfg_dropout=0.1,
+        description="tiny full-trunk pretrain preset for tests",
+    )
+
+
 def adapter_only_overfit() -> ExperimentPreset:
     """experiment_overfit adapter(+kv LoRA) regime (``Training_sdfusion_bert_adapter_sample*``)."""
     return ExperimentPreset(
@@ -245,6 +309,9 @@ PRESETS = {
         prompt_adherence,
         prompt_adherence_warm,
         prompt_adherence_text,
+        base_pretrain,
+        base_overfit,
+        tiny_base,
         adapter_only_overfit,
         lpips_expanded,
         tiny_smoke,

@@ -179,6 +179,27 @@ def distill_labeler(path: str) -> str | None:
     return None
 
 
+def full_labeler(path: str) -> str | None:
+    """Base/trunk pretraining: the WHOLE denoiser stack trains — UNet, ControlNet and the
+    text adapter — with only the first stage (VAE, pretrained separately via
+    ``pretrain-vae``) and the text towers (BERT/CLIP) frozen. LoRA collections stay frozen
+    at raw init (B=0 ⇒ inactive), so the produced base composes with every downstream
+    LoRA fine-tune config unchanged.
+
+    This is the repo's equivalent of the reference's pretrained ``Swisstopo.ckpt`` stage:
+    every reference training script *loads* a trained base (``addlrSD.py:288-291``) and
+    fine-tunes adapters on top; a self-contained from-scratch run must first *create*
+    that base — training low-rank adapters on a frozen random trunk cannot denoise
+    (round-4 lesson: all adherence evals null, previews structure-free)."""
+    if path.startswith("unet/"):
+        return "unet"
+    if path.startswith("controlnet/"):
+        return "controlnet"
+    if path.startswith("adapter/"):
+        return "adapter"
+    return None
+
+
 LABELERS = {
     "config1": config1_labeler,
     "config2": config2_labeler,
@@ -191,6 +212,7 @@ LABELERS = {
     "aft_froze_adapter": aft_froze_adapter_labeler,
     "embfussion": embfussion_labeler,
     "distill": distill_labeler,
+    "full": full_labeler,
 }
 
 # Per-group base LRs per config (SURVEY.md §2.5-2.6 hyper tables).
@@ -206,6 +228,7 @@ GROUP_LRS = {
     "aft_froze_adapter": {"bert_ft": 3e-5, "unet_lora": 1e-4},
     "embfussion": {"fusion": 1e-4, "unet_lora": 2e-4},
     "distill": {"distill": 1e-4},
+    "full": {"unet": 1e-4, "controlnet": 1e-4, "adapter": 1e-4},
 }
 
 
@@ -245,6 +268,12 @@ class OptimConfig:
     grad_clip: float = 1.0
     weight_decay: float = 0.01
     lr_overrides: dict | None = None  # group -> lr
+    # "adamw" (default, reference parity for adapter/LoRA fine-tunes) or "adafactor".
+    # Full-trunk pretraining (config "full", 1.22B trainables) MUST use adafactor: fp32
+    # Adam moments alone are ~9.8 GB and the v5e's 15.75 GB HBM already holds the fp32
+    # bundle (6.2 GB) + grads (4.9 GB). Adafactor's factored second moment (row+col
+    # statistics, no first moment) costs ~MBs instead.
+    optimizer: str = "adamw"
 
 
 def label_params(params: Params, labeler: PathPredicate) -> Params:
@@ -317,15 +346,23 @@ def build_optimizer(
         lrs.update(cfg.lr_overrides)
     part = ParamPartition(params, labeler)
 
-    transforms = {
-        group: optax.chain(
-            optax.clip_by_global_norm(cfg.grad_clip),
-            optax.adamw(
-                warmup_cosine_floor(lr, cfg.warmup, cfg.total_steps, cfg.lr_floor),
-                weight_decay=cfg.weight_decay,
-            ),
-        )
-        for group, lr in lrs.items()
-    }
+    def _group_tx(lr):
+        schedule = warmup_cosine_floor(lr, cfg.warmup, cfg.total_steps, cfg.lr_floor)
+        if cfg.optimizer == "adafactor":
+            # multiply_by_parameter_scale=False ⇒ Adam-like absolute-LR semantics (the
+            # warmup-cosine schedule applies directly); clipping_threshold bounds the
+            # per-tensor update RMS — adafactor's own stabilizer, kept alongside the
+            # global-norm grad clip.
+            inner = optax.adafactor(
+                learning_rate=schedule,
+                multiply_by_parameter_scale=False,
+                clipping_threshold=1.0,
+                weight_decay_rate=None,
+            )
+        else:
+            inner = optax.adamw(schedule, weight_decay=cfg.weight_decay)
+        return optax.chain(optax.clip_by_global_norm(cfg.grad_clip), inner)
+
+    transforms = {group: _group_tx(lr) for group, lr in lrs.items()}
     transforms["frozen"] = optax.set_to_zero()  # defensive; no frozen labels remain
     return optax.multi_transform(transforms, list(part.labels)), part

@@ -164,6 +164,18 @@ def _unflatten_into(tree: Params, flat: dict[str, np.ndarray]) -> Params:
 FILTERED_COLLECTIONS = ("adapter", "ctrl_lora", "unet_lora")
 
 
+def _atomic_savez(path: Path, arrays: dict) -> None:
+    """Write an .npz via a temp file + os.rename so readers (and the disaster-recovery
+    restore) never observe a partially-written snapshot — a container reset mid-save
+    previously left torn step-N files that resumed with stale collections (ADVICE r4)."""
+    import os
+
+    # must end in .npz or np.savez appends the suffix; step-regex parsers skip ".tmp.npz"
+    tmp = path.with_suffix(".tmp.npz")
+    np.savez(tmp, **arrays)
+    os.rename(tmp, path)
+
+
 def save_filtered(directory: str | Path, params: Params, step: int, labeler=None,
                   keep_last: int = 3) -> list[Path]:
     """Write per-collection .npz subsets mirroring the reference's filtered torch.save set:
@@ -192,7 +204,7 @@ def save_filtered(directory: str | Path, params: Params, step: int, labeler=None
             continue
         flat = _flatten(params[coll])
         path = directory / f"{coll}_step{step}.npz"
-        np.savez(path, **flat)
+        _atomic_savez(path, flat)
         written.append(path)
     if labeler is not None and "controlnet" in params:
         from topomap_tpu.train.optim import _path_str
@@ -205,7 +217,7 @@ def save_filtered(directory: str | Path, params: Params, step: int, labeler=None
         }
         if subset:
             path = directory / f"controlnet_ft_step{step}.npz"
-            np.savez(path, **subset)
+            _atomic_savez(path, subset)
             written.append(path)
     return written
 
@@ -224,14 +236,20 @@ def restore_from_filtered(directory: str | Path, state):
     import jax.numpy as jnp
 
     directory = Path(directory)
-    steps = set()
+    by_step: dict[int, set[str]] = {}
     for f in directory.glob("*_step*.npz"):
-        m = re.search(r"_step(\d+)\.npz$", f.name)
+        m = re.search(r"^(.+)_step(\d+)\.npz$", f.name)
         if m and f.stat().st_size:
-            steps.add(int(m.group(1)))
-    if not steps:
+            by_step.setdefault(int(m.group(2)), set()).add(m.group(1))
+    if not by_step:
         return state, 0
-    step = max(steps)
+    # Resume the newest step with a COMPLETE collection set. save_filtered writes the
+    # collections one file at a time; a reset mid-save leaves step N with a subset, and
+    # resuming it would silently continue with the missing trainables at fresh init
+    # (ADVICE r4 medium). "Complete" = the union of collection names seen across steps.
+    expected = set().union(*by_step.values())
+    complete = [s for s, colls in by_step.items() if colls == expected]
+    step = max(complete) if complete else max(by_step)
     params = state.params
     for coll in FILTERED_COLLECTIONS:
         path = directory / f"{coll}_step{step}.npz"
@@ -251,3 +269,93 @@ def load_filtered(params: Params, path: str | Path, collection: str) -> Params:
     out = dict(params)
     out[collection] = _unflatten_into(params[collection], flat)
     return out
+
+
+def latest_filtered_step(directory: str | Path) -> int:
+    """Newest step number with any non-empty filtered npz under ``directory`` (0 if none) —
+    used to detect a stale Orbax dir shadowing newer committed filtered state (ADVICE r4)."""
+    import re
+
+    best = 0
+    for f in Path(directory).glob("*_step*.npz"):
+        m = re.search(r"_step(\d+)\.npz$", f.name)
+        if m and f.stat().st_size:
+            best = max(best, int(m.group(1)))
+    return best
+
+
+# ---------------------------------------------------------------------------
+# Base-trunk artifacts (full-trunk pretraining, OptimConfig config_name="full")
+# ---------------------------------------------------------------------------
+
+BASE_COLLECTIONS = ("unet", "controlnet", "adapter")
+
+
+def save_base_npz(directory: str | Path, params: Params, step: int,
+                  keep_last: int = 1) -> Path:
+    """Write the trained BASE trunk (unet + controlnet + adapter, the ``full`` labeler's
+    trainable set) as ONE fp16 .npz — the repo's interchange equivalent of the reference's
+    ``Swisstopo.ckpt`` (``addlrSD.py:288-291``), consumable via ``--base-npz``.
+
+    fp16 halves the ~4.9 GB fp32 payload; ``load_base_npz``/``_unflatten_into`` upcast on
+    load (same contract as the committed VAE overlay). Written atomically (tmp+rename);
+    per-step files beyond the newest ``keep_last`` are deleted (each is ~2.4 GB)."""
+    import re
+
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    # one batched device->host gather (per-leaf np.asarray through the remote-TPU tunnel
+    # would serialize ~1900 round trips)
+    host = jax.device_get({c: params[c] for c in BASE_COLLECTIONS if params.get(c) is not None})
+    flat: dict[str, np.ndarray] = {}
+    for coll, tree in host.items():
+        for k, v in _flatten(tree, coll).items():
+            arr = np.asarray(v)
+            flat[k] = arr.astype(np.float16) if arr.dtype == np.float32 else arr
+    path = directory / f"base_step{step}.npz"
+    _atomic_savez(path, flat)
+    if keep_last:
+        steps_seen = set()
+        for f in directory.glob("base_step*.npz"):
+            m = re.search(r"base_step(\d+)\.npz$", f.name)
+            if m:
+                steps_seen.add(int(m.group(1)))
+        for old in sorted(steps_seen - {step})[:-max(keep_last - 1, 0) or None]:
+            (directory / f"base_step{old}.npz").unlink(missing_ok=True)
+    return path
+
+
+def load_base_npz(params: Params, path: str | Path) -> Params:
+    """Overlay a ``save_base_npz`` artifact (collection-prefixed keys) onto the pipeline
+    tree; fp16 payloads upcast to each leaf's dtype."""
+    flat = dict(np.load(path))
+    out = dict(params)
+    for coll in BASE_COLLECTIONS:
+        sub = {k[len(coll) + 1:]: v for k, v in flat.items() if k.startswith(coll + "/")}
+        if sub and out.get(coll) is not None:
+            out[coll] = _unflatten_into(out[coll], sub)
+    return out
+
+
+def restore_from_base_npz(directory: str | Path, state):
+    """Disaster-recovery resume for full-trunk runs: overlay the newest ``base_step*.npz``
+    and set ``state.step`` (optimizer state restarts fresh, as in ``restore_from_filtered``)."""
+    import dataclasses
+    import re
+
+    import jax.numpy as jnp
+
+    directory = Path(directory)
+    best = None
+    for f in directory.glob("base_step*.npz"):
+        m = re.search(r"base_step(\d+)\.npz$", f.name)
+        if m and f.stat().st_size:
+            s = int(m.group(1))
+            if best is None or s > best[0]:
+                best = (s, f)
+    if best is None:
+        return state, 0
+    step, path = best
+    params = load_base_npz(state.params, path)
+    state = dataclasses.replace(state, params=params, step=jnp.asarray(step, jnp.int32))
+    return state, step
