@@ -43,9 +43,22 @@ def init_base(cfg, preset=None, merge: bool = False, drop_clip: bool = True):
     _, ctx = cpu_ctx()
     provenance = "simulated_pretrained"
     with ctx:
-        params = simulate_pretrained(
-            init_pipeline(jax.random.PRNGKey(0), cfg), jax.random.PRNGKey(1)
-        )
+        base_npz = os.environ.get("BASE_NPZ")
+        if base_npz:
+            # Trained full-trunk base (save_base_npz artifact): init from the TRAINING
+            # seed so the frozen text towers match the run's, overlay the trained trunk,
+            # and do NOT simulate_pretrained (the base trained from raw init).
+            from topomap_tpu.configs.presets import get_preset
+            from topomap_tpu.utils.checkpoint import load_base_npz
+
+            seed = (preset or get_preset(os.environ.get("PRESET", "base_pretrain"))).seed
+            params = load_base_npz(init_pipeline(jax.random.PRNGKey(seed), cfg), base_npz)
+            provenance = f"base:{base_npz}"
+            print(f"overlaid base trunk {base_npz}", file=sys.stderr)
+        else:
+            params = simulate_pretrained(
+                init_pipeline(jax.random.PRNGKey(0), cfg), jax.random.PRNGKey(1)
+            )
         ckpt = os.environ.get("CKPT")
         run = os.environ.get("RUN")
         if ckpt:

@@ -1,26 +1,33 @@
 #!/bin/bash
-# Round-5 chip chain — text-pathway adherence push. Round-4 evidence: phase-2 maskloss
-# improved image fidelity (MSE vs GT 2.3x better, MIoU 2x) but BOTH adherence evals were
-# null (matched-vs-shuffled ratio ~1.0, even in the overfit lab where the prompt is the
-# only disambiguator) -> the under-optimized link is the text pathway of the
-# from-scratch base. The lever (prompt_adherence_text preset): 10% CFG prompt dropout
-# (train the uncond branch the reference inherits from pretrained SD1.5) + 4x LRs on
-# adapter/unet_lora. Stage order validates the lever CHEAPLY before spending chip-hours:
+# Round-5 chip chain — TRUNK FIRST (VERDICT r4 ask #1): every round-4 adherence run
+# trained LoRA subsets on a frozen RANDOM 1.2B trunk, which cannot denoise; all three
+# adherence evals were null and no committed preview shows map structure. The missing
+# reference asset is the pretrained base itself (Swisstopo.ckpt, addlrSD.py:288-291).
+# Stage order:
 #   0. datasets (seed-pinned regeneration after container wipes)
-#   1. overfit-text lab: 2 tiles x 10 prompts, 8k steps -- if the conditioning pathway
-#      can bind text at all, it must show here first (ratio << 1 expected)
-#   2. full-scale phase 3: resume runs/prompt_adherence 16k -> 26k with the text preset
-#   3. adherence eval on the phase-3 checkpoint
-#   4. consistency distillation from the newest checkpoint (resumable)
-#   5. student quality vs its trained teacher
+#   1. base_overfit gate: 2 tiles, FULL-trunk training from raw init (preset
+#      base_overfit: 'full' labeler + adafactor). A sound pipeline must near-memorize;
+#      previews must reproduce the seg-hint polygons. CHEAP kill-switch before the
+#      full-scale spend.
+#   2. gate eval: adherence_report on the overfit base (miou_vs_seg_hint >= 0.5 = pass,
+#      judged against the new miou_gt_tiles calibration row).
+#   3. base_pretrain: full-scale trunk run on the 128-tile styled suite (the repo's
+#      synthetic-Swisstopo artifact, fp16 base npz).
+#   4. adherence eval on the trained base (matched-vs-shuffled ratio, reference contract
+#      quantitative_metrics.py:198-245).
+#   5. text-lever fine-tune ON TOP of the trained base (preset prompt_adherence_text,
+#      config-3 trainables + CFG dropout — VERDICT r4 ask #2, now on a sound generator).
+#   6. adherence eval on the fine-tuned model.
+#   7. consistency distillation from the trained teacher + student quality table.
 # Idempotent: artifact-gated stages, 0-byte husks treated as absent, training resumes.
 cd /root/repo || exit 1
 export VAE=runs/vae_pretrain/vae_final_fp16.npz
-export PA_DATA=data/synth_pa/pairs.jsonl
-export PA_TRAIN_DATA=data/synth_pa2/pairs.jsonl
-export PA_RUN=runs/prompt_adherence
 export OFT_DATA=data/synth_overfit/pairs.jsonl
-export OFT_RUN=runs/overfit_text
+export OFT_RUN=runs/base_overfit
+export BASE_DATA=data/synth_pa2/pairs.jsonl
+export BASE_RUN=runs/base_pretrain
+export PA_DATA=data/synth_pa/pairs.jsonl
+export FT_RUN=runs/pa_text
 
 stage() {
   local name=$1 artifact=$2 cmd=$3
@@ -36,7 +43,10 @@ stage() {
   return $rc
 }
 
-mkdir -p "$OFT_RUN" "$PA_RUN/eval_phase3" runs/distill_pa
+newest() { ls "$1"/base_step*.npz 2>/dev/null | sort -V | tail -1; }
+export -f newest  # stages run under bash -c and need the helper
+
+mkdir -p "$OFT_RUN" "$BASE_RUN" "$FT_RUN" runs/distill_base
 
 stage make_data_pa data/synth_pa/pairs.jsonl '
   PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu timeout 3600 \
@@ -50,51 +60,67 @@ stage make_data_overfit "$OFT_DATA" '
   PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu timeout 1800 \
     python -m topomap_tpu.cli.main make-data --out data/synth_overfit --tiles 2 --seed 5000'
 
-# 1. lever validation: overfit lab under the text preset. 8k steps (the r4 lab showed
-#    5k reaches stable color statistics; dropout slows memorization slightly).
-stage overfit_text_train "$OFT_RUN/ckpt/8000" '
-  timeout 10800 python -m topomap_tpu.cli.main train --preset prompt_adherence_text \
+# 1. full-trunk overfit gate (2 tiles, 8k steps)
+stage overfit_base "$OFT_RUN/base/base_step8000.npz" '
+  timeout 14400 python -m topomap_tpu.cli.main train --preset base_overfit \
     --data $OFT_DATA --out $OFT_RUN \
     --vae-ckpt $VAE --steps 8000 --batch 1 --remat --scan-steps 8 \
-    --maskloss-warmup 500 --full-ckpt-every 8000 --val-every 1000 \
-    --log-every 200 --prefetch 2 \
+    --full-ckpt-every 2000 --val-every 500 --log-every 104 --prefetch 2 \
     >> $OFT_RUN/train.log 2>&1'
 
-stage overfit_text_eval "$OFT_RUN/eval/adherence_report.json" '
+stage overfit_base_eval "$OFT_RUN/eval/adherence_report.json" '
   mkdir -p $OFT_RUN/eval
-  RUN=$OFT_RUN DATA=$OFT_DATA PER_PROMPT=2 STEPS=20 OUT=$OFT_RUN/eval \
+  BASE_NPZ=$(newest $OFT_RUN/base) VAE_CKPT=$VAE PRESET=base_overfit \
+    RUN=$OFT_RUN DATA=$OFT_DATA PER_PROMPT=2 STEPS=20 OUT=$OFT_RUN/eval \
     timeout 5400 python tools/prompt_adherence_eval.py \
     > $OFT_RUN/eval/eval.log 2>&1'
 
-# 2. full-scale phase 3: resume the 16k checkpoint under the text preset (same config3
-#    labeler/groups -> optimizer state restores; LRs live in the schedule).
-stage phase3_text "$PA_RUN/ckpt/26000" '
-  timeout 18000 python -m topomap_tpu.cli.main train --preset prompt_adherence_text \
-    --data $PA_TRAIN_DATA --out $PA_RUN \
+# 3. full-scale base pretrain (128 styled tiles, 26k steps, resumable)
+stage base_pretrain "$BASE_RUN/base/base_step26000.npz" '
+  timeout 21600 python -m topomap_tpu.cli.main train --preset base_pretrain \
+    --data $BASE_DATA --out $BASE_RUN \
     --vae-ckpt $VAE --steps 26000 --batch 1 --remat --scan-steps 8 \
-    --full-ckpt-every 5000 \
-    --log-every 200 --prefetch 2 \
-    >> $PA_RUN/phase3.log 2>&1'
+    --full-ckpt-every 4000 --val-every 1000 --log-every 200 --prefetch 2 \
+    >> $BASE_RUN/train.log 2>&1'
 
-stage adherence_eval_p3 "$PA_RUN/eval_phase3/adherence_report.json" '
-  RUN=$PA_RUN DATA=$PA_DATA PER_PROMPT=4 STEPS=20 OUT=$PA_RUN/eval_phase3 \
+stage base_eval "$BASE_RUN/eval/adherence_report.json" '
+  mkdir -p $BASE_RUN/eval
+  BASE_NPZ=$(newest $BASE_RUN/base) VAE_CKPT=$VAE PRESET=base_pretrain \
+    RUN=$BASE_RUN DATA=$PA_DATA PER_PROMPT=4 STEPS=20 OUT=$BASE_RUN/eval \
     timeout 7200 python tools/prompt_adherence_eval.py \
-    > $PA_RUN/eval_phase3/eval.log 2>&1'
+    > $BASE_RUN/eval/eval.log 2>&1'
 
-# 4. consistency distillation from the newest trained checkpoint (VERDICT r3 #3)
-stage distill_pa runs/distill_pa/unet_lora_step10000.npz '
-  timeout 18000 python -m topomap_tpu.cli.main distill --preset prompt_adherence \
-    --ckpt $PA_RUN --vae-ckpt $VAE --data $PA_TRAIN_DATA \
-    --out runs/distill_pa --mode consistency --steps 10000 \
+# 5. text-pathway fine-tune ON TOP of the trained base (config-3 trainables)
+stage ft_text "$FT_RUN/ckpt/4000" '
+  timeout 10800 python -m topomap_tpu.cli.main train --preset prompt_adherence_text \
+    --data $BASE_DATA --out $FT_RUN --base-npz $(newest $BASE_RUN/base) \
+    --vae-ckpt $VAE --steps 4000 --batch 1 --remat --scan-steps 8 \
+    --maskloss-warmup 0 --full-ckpt-every 2000 --val-every 500 \
+    --log-every 200 --prefetch 2 \
+    >> $FT_RUN/train.log 2>&1'
+
+stage ft_text_eval "$FT_RUN/eval/adherence_report.json" '
+  mkdir -p $FT_RUN/eval
+  PRESET=prompt_adherence_text RUN=$FT_RUN DATA=$PA_DATA PER_PROMPT=4 STEPS=20 \
+    OUT=$FT_RUN/eval \
+    timeout 7200 python tools/prompt_adherence_eval.py \
+    > $FT_RUN/eval/eval.log 2>&1'
+
+# 7. consistency distillation from the trained teacher (VERDICT r3 #3 / r4 #4 redo
+#    with a non-noise teacher) + student quality vs that teacher
+stage distill_base runs/distill_base/unet_lora_step6000.npz '
+  timeout 14400 python -m topomap_tpu.cli.main distill --preset prompt_adherence_text \
+    --ckpt $FT_RUN --base-npz $(newest $BASE_RUN/base) --vae-ckpt $VAE --data $BASE_DATA \
+    --out runs/distill_base --mode consistency --steps 6000 \
     --batch 2 --remat --scan-steps 8 --log-every 200 --save-every 1000 \
-    >> runs/distill_pa/run.log 2>&1'
+    >> runs/distill_base/run.log 2>&1'
 
-stage student_quality runs/distill_pa/student_quality.json '
-  DISTILL_RUN=runs/distill_pa RUN=$PA_RUN DATA=$PA_DATA \
-      PRESET=prompt_adherence BATCH=2 STUDENT_STEPS=2,4,8 \
+stage student_quality_base runs/distill_base/student_quality.json '
+  DISTILL_RUN=runs/distill_base RUN=$FT_RUN DATA=$PA_DATA \
+      PRESET=prompt_adherence_text BATCH=2 STUDENT_STEPS=2,4,8 \
     timeout 7200 python tools/student_quality.py \
-    > runs/distill_pa/student_quality.json.tmp 2> runs/distill_pa/student_quality.log \
-  && [ -s runs/distill_pa/student_quality.json.tmp ] \
-  && mv runs/distill_pa/student_quality.json.tmp runs/distill_pa/student_quality.json'
+    > runs/distill_base/student_quality.json.tmp 2> runs/distill_base/student_quality.log \
+  && [ -s runs/distill_base/student_quality.json.tmp ] \
+  && mv runs/distill_base/student_quality.json.tmp runs/distill_base/student_quality.json'
 
 echo "=== chain r5 complete $(date -u +%H:%M:%S)"

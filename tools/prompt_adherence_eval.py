@@ -73,18 +73,37 @@ def main():
         cpu = None
     dev = jax.devices()[0]
     ctx = jax.default_device(cpu) if (cpu is not None and dev.platform != "cpu") else contextlib.nullcontext()
+    base_npz = os.environ.get("BASE_NPZ")  # save_base_npz artifact from a full-trunk run
+    vae_ckpt = os.environ.get("VAE_CKPT")  # pretrain-vae overlay (required with BASE_NPZ)
     with ctx:
-        params = simulate_pretrained(init_pipeline(jax.random.PRNGKey(preset.seed), cfg),
-                                     jax.random.PRNGKey(preset.seed + 1))
-        tx, part = build_optimizer(params, preset.optim)
-        state = init_train_state(params, tx, part)
-    state, step = restore_latest(run / "ckpt", state)
-    if not step:
-        raise SystemExit(f"no checkpoint under {run}/ckpt")
-    print(f"restored step {step}", file=sys.stderr)
-    with ctx:
-        params = merge_for_sampling(state.params)
-    del state
+        params = init_pipeline(jax.random.PRNGKey(preset.seed), cfg)
+        if base_npz:
+            # Full-trunk runs: the fp16 base npz IS the checkpoint (no 6 GB Orbax
+            # restore needed); trained from raw init, so no simulate_pretrained.
+            import re
+
+            from topomap_tpu.utils.checkpoint import load_base_npz, load_filtered
+
+            params = load_base_npz(params, base_npz)
+            if vae_ckpt:
+                params = load_filtered(params, vae_ckpt, "vae")
+            m = re.search(r"base_step(\d+)\.npz$", str(base_npz))
+            step = int(m.group(1)) if m else -1
+            print(f"overlaid base trunk {base_npz} (step {step})"
+                  + (f" + VAE {vae_ckpt}" if vae_ckpt else ""), file=sys.stderr)
+            params = merge_for_sampling(params)
+        else:
+            params = simulate_pretrained(params, jax.random.PRNGKey(preset.seed + 1))
+            tx, part = build_optimizer(params, preset.optim)
+            state = init_train_state(params, tx, part)
+    if not base_npz:
+        state, step = restore_latest(run / "ckpt", state)
+        if not step:
+            raise SystemExit(f"no checkpoint under {run}/ckpt")
+        print(f"restored step {step}", file=sys.stderr)
+        with ctx:
+            params = merge_for_sampling(state.params)
+        del state
     params = jax.device_put(params, dev)
     jax.block_until_ready(jax.tree.leaves(params)[0])
 
@@ -173,10 +192,17 @@ def main():
             if seg_model is not None:
                 sp, scfg = seg_model
                 pred_mask = np.asarray(predict_classes(sp, scfg, jnp.asarray(gen, jnp.float32) / 255.0))
+                gt_pred_mask = np.asarray(predict_classes(sp, scfg, jnp.asarray(gt_u8, jnp.float32) / 255.0))
             else:
                 pred_mask = np.asarray(rgb_to_class_mask(jnp.asarray(gen)))
+                gt_pred_mask = np.asarray(rgb_to_class_mask(jnp.asarray(gt_u8.astype(np.uint8))))
             miou = float(np.mean([float(mean_iou(jnp.asarray(pred_mask[i]), jnp.asarray(gt_mask[i])))
                                   for i in range(n)]))
+            # calibration row (VERDICT r4 weak #6): the same metric on the KNOWN-GOOD
+            # styled GT tiles — the ceiling the generated number should be read against
+            # (reference anchor: ``evaluateCNSiegfried.py:61-80``)
+            miou_gt = float(np.mean([float(mean_iou(jnp.asarray(gt_pred_mask[i]), jnp.asarray(gt_mask[i])))
+                                     for i in range(n)]))
         report["prompts"][p] = {
             "n_tiles": n, "mask_pixels": npix,
             "masked_color_mse_matched": mse_match,
@@ -184,6 +210,7 @@ def main():
             "control_over_matched_ratio": (mse_ctrl / mse_match) if mse_match else None,
             "image_mse_vs_gt_0_255": img_mse,
             "miou_vs_seg_hint": miou,
+            "miou_gt_tiles": miou_gt,
             "wrong_prompt_used": wrong[p],
         }
         grid_rows["seg"].append((seg_np[0] * 255).astype(np.uint8))
@@ -201,6 +228,7 @@ def main():
         "mean_masked_color_mse_shuffled_control": float(np.mean(ctrl)) if ctrl else None,
         "mean_control_over_matched_ratio": float(np.mean(ctrl) / np.mean(matched)) if matched and ctrl else None,
         "mean_miou": float(np.mean([v["miou_vs_seg_hint"] for v in report["prompts"].values()])),
+        "mean_miou_gt_tiles": float(np.mean([v["miou_gt_tiles"] for v in report["prompts"].values()])),
         "mean_image_mse_vs_gt": float(np.mean([v["image_mse_vs_gt_0_255"] for v in report["prompts"].values()])),
     }
     (out / "adherence_report.json").write_text(json.dumps(report, indent=1))
