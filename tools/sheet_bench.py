@@ -58,9 +58,20 @@ def main():
     except Exception:
         ctx = contextlib.nullcontext()
     with ctx:
-        params = simulate_pretrained(
-            init_pipeline(jax.random.PRNGKey(0), cfg), jax.random.PRNGKey(1)
-        )
+        base_npz = os.environ.get("BASE_NPZ")
+        if base_npz:
+            # trained full-trunk base (+ pretrain-vae overlay) — product numbers on
+            # trained weights instead of the simulated bundle (VERDICT r4 #8)
+            from topomap_tpu.utils.checkpoint import load_base_npz, load_filtered
+
+            params = load_base_npz(init_pipeline(jax.random.PRNGKey(42), cfg), base_npz)
+            if os.environ.get("VAE"):
+                params = load_filtered(params, os.environ["VAE"], "vae")
+            print(f"trained base: {base_npz}", file=sys.stderr)
+        else:
+            params = simulate_pretrained(
+                init_pipeline(jax.random.PRNGKey(0), cfg), jax.random.PRNGKey(1)
+            )
         params = {k: v for k, v in params.items()
                   if k in ("unet", "vae", "controlnet", "unet_lora", "ctrl_lora")}
         params = merge_for_sampling(params)

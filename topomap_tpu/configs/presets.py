@@ -195,9 +195,12 @@ def base_pretrain() -> ExperimentPreset:
         name="base_pretrain",
         pipeline=PipelineConfig.sd15_config3(),
         optim=OptimConfig(
-            config_name="full", optimizer="adafactor", total_steps=40_000, warmup=2_000
+            config_name="full", optimizer="adafactor", total_steps=26_000, warmup=2_000,
+            # 2x the SD reference LR: batch-1 single-session schedule (~20 epochs of the
+            # 128-tile suite) needs the faster constant; the 2-tile gate is stable at 3e-4
+            lr_overrides={"unet": 2e-4, "controlnet": 2e-4, "adapter": 2e-4},
         ),
-        steps=40_000,
+        steps=26_000,
         batch_size=1,
         val_every=1_000,
         cfg_dropout=0.1,
