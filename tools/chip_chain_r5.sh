@@ -75,9 +75,18 @@ stage overfit_base_eval "$OFT_RUN/eval/adherence_report.json" '
     timeout 5400 python tools/prompt_adherence_eval.py \
     > $OFT_RUN/eval/eval.log 2>&1'
 
-# 3. full-scale base pretrain (128 styled tiles, 26k steps, resumable)
-stage base_pretrain "$BASE_RUN/base/base_step26000.npz" '
+# 3. full-scale base pretrain (128 styled tiles, resumable). Phase A: pure eps-MSE to
+#    18k (fast, memory-light); phase B: resume with the masked color loss to 26k (the
+#    prompt->class-color gradient; staged like the reference's maskloss resume).
+stage base_pretrain_a "$BASE_RUN/base/base_step18000.npz" '
   timeout 21600 python -m topomap_tpu.cli.main train --preset base_pretrain \
+    --data $BASE_DATA --out $BASE_RUN \
+    --vae-ckpt $VAE --steps 18000 --batch 1 --remat --scan-steps 8 \
+    --full-ckpt-every 6000 --val-every 1000 --log-every 200 --prefetch 2 \
+    >> $BASE_RUN/train.log 2>&1'
+
+stage base_pretrain_b "$BASE_RUN/base/base_step26000.npz" '
+  timeout 14400 python -m topomap_tpu.cli.main train --preset base_pretrain_maskloss \
     --data $BASE_DATA --out $BASE_RUN \
     --vae-ckpt $VAE --steps 26000 --batch 1 --remat --scan-steps 8 \
     --full-ckpt-every 4000 --val-every 1000 --log-every 200 --prefetch 2 \

@@ -198,13 +198,27 @@ def base_pretrain() -> ExperimentPreset:
             config_name="full", optimizer="adafactor", total_steps=26_000, warmup=2_000,
             # 2x the SD reference LR: batch-1 single-session schedule (~20 epochs of the
             # 128-tile suite) needs the faster constant; the 2-tile gate is stable at 3e-4
-            lr_overrides={"unet": 2e-4, "controlnet": 2e-4, "adapter": 2e-4},
+            lr_overrides={"unet": 2e-4, "controlnet": 2e-4, "adapter": 2e-4, "bert": 2e-4},
         ),
         steps=26_000,
         batch_size=1,
         val_every=1_000,
         cfg_dropout=0.1,
         description="from-scratch full-trunk pretrain (synthetic Swisstopo base)",
+    )
+
+
+def base_pretrain_maskloss() -> ExperimentPreset:
+    """Phase B of base pretraining: resume the ε-MSE run with the masked color loss on
+    (decoded-x0 per-class color supervision — the strongest gradient tying the prompt's
+    target color to the rendered class region). Mirrors the reference's staged maskloss
+    resume (``multiseg_colorprompts_addlrSD_maskloss.py:371-373,531``); identical
+    trainables/optimizer so the Orbax state restores."""
+    base = base_pretrain()
+    return dataclasses.replace(
+        base, name="base_pretrain_maskloss", use_maskloss=True, maskloss_warmup=18_000,
+        maskloss_palette="synthetic",
+        description="base pretrain phase B: + masked color loss from 18k",
     )
 
 
@@ -223,7 +237,7 @@ def base_overfit() -> ExperimentPreset:
             base.optim, total_steps=8_000, warmup=300,
             # 3x the production LR: 2 tiles ⇒ near-zero gradient noise, memorization
             # speed is the goal (the gate has a fixed chip-time budget)
-            lr_overrides={"unet": 3e-4, "controlnet": 3e-4, "adapter": 3e-4},
+            lr_overrides={"unet": 3e-4, "controlnet": 3e-4, "adapter": 3e-4, "bert": 3e-4},
         ),
         steps=8_000,
         val_every=500,
@@ -313,6 +327,7 @@ PRESETS = {
         prompt_adherence_warm,
         prompt_adherence_text,
         base_pretrain,
+        base_pretrain_maskloss,
         base_overfit,
         tiny_base,
         adapter_only_overfit,

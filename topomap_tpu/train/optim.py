@@ -190,13 +190,21 @@ def full_labeler(path: str) -> str | None:
     every reference training script *loads* a trained base (``addlrSD.py:288-291``) and
     fine-tunes adapters on top; a self-contained from-scratch run must first *create*
     that base — training low-rank adapters on a frozen random trunk cannot denoise
-    (round-4 lesson: all adherence evals null, previews structure-free)."""
+    (round-4 lesson: all adherence evals null, previews structure-free).
+
+    The BERT tower trains too — unlike the reference, whose tower is *pretrained* and
+    sensibly frozen, ours starts random, and the measured overfit-gate checkpoint shows
+    the trained adapter cannot amplify a frozen random tower's prompt separation (raw
+    BERT inter-prompt |Δ| ≈ 32% of scale collapses to ~1% after the adapter; sampled
+    eps responds at 0.2%). CLIP stays frozen (unused by the adapter text mode)."""
     if path.startswith("unet/"):
         return "unet"
     if path.startswith("controlnet/"):
         return "controlnet"
     if path.startswith("adapter/"):
         return "adapter"
+    if path.startswith("bert/"):
+        return "bert"
     return None
 
 
@@ -228,7 +236,7 @@ GROUP_LRS = {
     "aft_froze_adapter": {"bert_ft": 3e-5, "unet_lora": 1e-4},
     "embfussion": {"fusion": 1e-4, "unet_lora": 2e-4},
     "distill": {"distill": 1e-4},
-    "full": {"unet": 1e-4, "controlnet": 1e-4, "adapter": 1e-4},
+    "full": {"unet": 1e-4, "controlnet": 1e-4, "adapter": 1e-4, "bert": 1e-4},
 }
 
 

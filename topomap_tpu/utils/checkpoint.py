@@ -288,7 +288,7 @@ def latest_filtered_step(directory: str | Path) -> int:
 # Base-trunk artifacts (full-trunk pretraining, OptimConfig config_name="full")
 # ---------------------------------------------------------------------------
 
-BASE_COLLECTIONS = ("unet", "controlnet", "adapter")
+BASE_COLLECTIONS = ("unet", "controlnet", "adapter", "bert")
 
 
 def save_base_npz(directory: str | Path, params: Params, step: int,
