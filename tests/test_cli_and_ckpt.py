@@ -325,3 +325,89 @@ def test_async_checkpoint_roundtrip(tmp_path):
     assert step == 3
     for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_base_npz_roundtrip_and_restore(tmp_path):
+    """save_base_npz -> load_base_npz/restore_from_base_npz: the full-trunk interchange
+    artifact (fp16, one file, unet+controlnet+adapter+bert) round-trips to fp16
+    precision and sets the resumed step."""
+    import dataclasses
+
+    from topomap_tpu.train.optim import build_optimizer
+    from topomap_tpu.utils.checkpoint import (
+        load_base_npz,
+        restore_from_base_npz,
+        save_base_npz,
+    )
+
+    cfg = PipelineConfig.tiny()
+    params = init_pipeline(jax.random.PRNGKey(0), cfg)
+    path = save_base_npz(tmp_path, params, 120)
+    assert path.name == "base_step120.npz" and path.stat().st_size > 0
+
+    other = init_pipeline(jax.random.PRNGKey(9), cfg)
+    merged = load_base_npz(other, path)
+    for coll in ("unet", "controlnet", "adapter", "bert"):
+        a = np.asarray(jax.tree.leaves(merged[coll])[0])
+        b = np.asarray(jax.tree.leaves(params[coll])[0])
+        np.testing.assert_allclose(a, b, atol=1e-3)  # fp16 interchange
+        assert a.dtype == np.float32  # upcast on load
+    # frozen/other collections untouched
+    np.testing.assert_array_equal(
+        np.asarray(merged["vae"]["encoder"]["conv_in"]["w"]),
+        np.asarray(other["vae"]["encoder"]["conv_in"]["w"]),
+    )
+
+    preset = get_preset("tiny_base")
+    tx, part = build_optimizer(other, preset.optim)
+    state = init_train_state(other, tx, part)
+    state, step = restore_from_base_npz(tmp_path, state)
+    assert step == 120 and int(state.step) == 120
+
+    # retention: newer save deletes the older file (keep_last=1)
+    save_base_npz(tmp_path, params, 200)
+    assert not (tmp_path / "base_step120.npz").exists()
+    assert (tmp_path / "base_step200.npz").exists()
+
+
+def test_restore_from_filtered_skips_incomplete_step(tmp_path):
+    """A torn snapshot (reset mid-save: step N has only SOME collections) must not win
+    over the newest complete step (ADVICE r4 medium)."""
+    from topomap_tpu.train.optim import build_optimizer
+    from topomap_tpu.utils.checkpoint import restore_from_filtered
+
+    cfg = PipelineConfig.tiny()
+    params = init_pipeline(jax.random.PRNGKey(0), cfg)
+    save_filtered(tmp_path, params, 40, labeler=config2_labeler, keep_last=0)
+    save_filtered(tmp_path, params, 50, labeler=config2_labeler, keep_last=0)
+    # simulate the torn step-50 write: drop two of its collections
+    (tmp_path / "unet_lora_step50.npz").unlink()
+    (tmp_path / "controlnet_ft_step50.npz").unlink()
+
+    preset = get_preset("tiny_smoke")
+    tx, part = build_optimizer(params, preset.optim)
+    state = init_train_state(init_pipeline(jax.random.PRNGKey(3), cfg), tx, part)
+    _, step = restore_from_filtered(tmp_path, state)
+    assert step == 40
+
+
+def test_full_labeler_trains_trunk_and_bert_freezes_vae_clip():
+    from topomap_tpu.train.optim import LABELERS, label_params
+
+    cfg = PipelineConfig.tiny(with_clip=True)
+    params = init_pipeline(jax.random.PRNGKey(0), cfg)
+    labels = label_params(params, LABELERS["full"])
+    flat = {
+        "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path): l
+        for path, l in jax.tree_util.tree_flatten_with_path(labels)[0]
+    }
+    by_coll = {}
+    for k, l in flat.items():
+        by_coll.setdefault(k.split("/")[0], set()).add(l)
+    assert by_coll["unet"] == {"unet"}
+    assert by_coll["controlnet"] == {"controlnet"}
+    assert by_coll["adapter"] == {"adapter"}
+    assert by_coll["bert"] == {"bert"}
+    assert by_coll["vae"] == {"frozen"}
+    assert by_coll["clip"] == {"frozen"}
+    assert by_coll["unet_lora"] == {"frozen"} and by_coll["ctrl_lora"] == {"frozen"}
